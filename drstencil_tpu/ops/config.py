@@ -1,0 +1,60 @@
+"""Kernel configuration — the TPU analogue of the reference's CLI knobs.
+
+Every reference flag (main.cpp:12-59) maps to a field here; GPU-specific
+knobs become their TPU equivalents:
+
+- ``bx/by`` thread-block shape + ``block/cyclic-merge`` thread coarsening
+  → ``tn/tm/tl`` VMEM tile shape (the VPU is already 8×128-vectorized, so
+  coarsening is just tile-shape selection);
+- ``sn`` stream-chunk length → ``tl`` (3D) / ``tm`` (2D) rows per grid step
+  along the streaming axis;
+- ``--streaming`` → variant selection (strip kernels stream by
+  construction; the XLA variant lets the compiler choose);
+- ``--prefetch`` → double-buffered DMA, automatic in the Pallas pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+
+VARIANTS_2D = ("xla", "strip2d")
+VARIANTS_3D = ("xla", "block3d", "stream3d")
+
+
+@dataclass(frozen=True)
+class KernelConfig:
+    """Configuration for one generated/compiled stencil kernel."""
+
+    variant: str = "strip2d"
+    # analysis knobs (reference: --step, --dist, --merge-forward)
+    step: int = 1
+    distance: int = 0  # 0 = auto (fused extent >> 1)
+    merge_forward: int = 5
+    # tile shape (elements per grid step); None = pick a default
+    tm: Optional[int] = None  # rows (2D) / M-axis (3D)
+    tn: Optional[int] = None  # minor axis; None = full row (2D)
+    tl: Optional[int] = None  # streaming axis chunk (3D)
+    # precision of device buffers
+    dtype: str = "float32"
+    # run kernels in the Pallas interpreter (for off-TPU tests)
+    interpret: bool = False
+
+    def replace(self, **kw) -> "KernelConfig":
+        return dataclasses.replace(self, **kw)
+
+    def label(self) -> str:
+        """Compact config name for logs — analogue of the reference's
+        cfgToString (tuning.py:72-86) e.g. 'strip2d_fu2d2tm256'."""
+        parts = [self.variant, f"fu{self.step}"]
+        if self.distance:
+            parts.append(f"d{self.distance}")
+        for key in ("tl", "tm", "tn"):
+            val = getattr(self, key)
+            if val is not None:
+                parts.append(f"{key}{val}")
+        if self.dtype != "float32":
+            parts.append(self.dtype)
+        return "_".join(parts)

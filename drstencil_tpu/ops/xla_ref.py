@@ -1,0 +1,43 @@
+"""Pure-XLA stencil implementation.
+
+The fused stencil as a sum of statically-shifted slices over the interior.
+XLA fuses this into a single tiled pass; it serves three roles:
+
+1. the on-device gold kernel (the analogue of the reference's generated
+   ``gold_*`` kernel, codegen.hpp:637-660) — always available, any backend;
+2. a production variant in its own right — for some shapes the XLA fusion
+   is already near roofline, and the autotuner scores it against Pallas;
+3. the fallback path on platforms without Mosaic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from drstencil_tpu.ir.passes import Analysis
+
+
+def apply_interior(an: Analysis):
+    """Return f(src, dst) -> dst' applying the fused operator to the
+    interior; boundary cells of dst are preserved (reference semantics:
+    kernels never write outside [halo, dim-halo))."""
+    taps = sorted(an.fused.items())
+    halo = an.halo
+    dims = an.spec.dims
+    nd = len(dims)
+
+    inner = tuple(d - 2 * halo for d in dims)
+
+    def f(src, dst):
+        acc = None
+        for off, coe in taps:
+            start = tuple(halo + off[a] for a in range(nd))
+            sl = jax.lax.slice(
+                src, start, tuple(s + i for s, i in zip(start, inner))
+            )
+            term = jnp.asarray(coe, src.dtype) * sl
+            acc = term if acc is None else acc + term
+        return jax.lax.dynamic_update_slice(dst, acc, (halo,) * nd)
+
+    return f

@@ -8,16 +8,47 @@ without TPU hardware.  The same suites re-run unchanged on a real chip
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The CPU client is created lazily on first use, so setting XLA_FLAGS here
+# (before any test touches jax.devices('cpu')) yields 8 virtual CPU devices
+# for sharding tests even when a TPU backend was pre-registered by the
+# environment (sitecustomize imports jax at interpreter start, so a plain
+# JAX_PLATFORMS=cpu in this file would be too late).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# Tests compare against the fp64 golden model; without x64 JAX silently
+# demotes float64 inputs to float32.  Production kernels pin their dtype
+# explicitly (KernelConfig.dtype), so this only affects test code.
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")
+
+
+@pytest.fixture(autouse=True)
+def _default_to_cpu():
+    """Run every test on CPU by default (fast, no TPU required); tests that
+    want the real accelerator opt in via the tpu_device fixture."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        yield
+
+
+@pytest.fixture(scope="session")
+def tpu_device():
+    devs = [d for d in jax.devices() if d.platform != "cpu"]
+    if not devs:
+        pytest.skip("no accelerator available")
+    return devs[0]
 
 BENCH_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "benchmarks")
 

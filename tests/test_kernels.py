@@ -1,0 +1,96 @@
+"""Differential tests: XLA + Pallas(interpret) kernels vs the fp64 golden.
+
+The promoted form of the reference's --check mechanism (§4 of SURVEY.md):
+every variant × every benchmark stencil × fusion depths, with assertable
+fp32 tolerances instead of eyeballed RMS prints.
+"""
+
+import numpy as np
+import pytest
+
+from drstencil_tpu.ir.passes import AnalysisError
+from drstencil_tpu.ops.config import KernelConfig
+from drstencil_tpu.ops.runner import StencilProgram
+
+from conftest import small_spec, ALL_STENCILS
+
+# fp32 state with fp64 golden: tolerance scales with |values| ~ 100 and
+# a few applications of a contraction-ish operator.
+MAX_TOL = 5e-3
+RMS_TOL = 1e-3
+
+
+def make_program(name, variant, step, tm=None):
+    spec = small_spec(name)
+    cfg = KernelConfig(variant=variant, step=step, tm=tm, interpret=True)
+    try:
+        return StencilProgram(spec, cfg)
+    except AnalysisError:
+        if step == 1 and "cross" in name:
+            pytest.skip("no axis-0 reuse at step=1 for diagonal stencils")
+        raise
+
+
+@pytest.mark.parametrize("name", ALL_STENCILS)
+@pytest.mark.parametrize("step", [1, 2])
+def test_xla_variant_matches_golden(name, step):
+    prog = make_program(name, "xla", step)
+    max_err, rms = prog.check(seed=0)
+    assert max_err < MAX_TOL, f"max_err={max_err}"
+    assert rms < RMS_TOL
+
+
+@pytest.mark.parametrize("name", ALL_STENCILS)
+@pytest.mark.parametrize("step", [1, 2])
+def test_stream_variant_matches_golden(name, step):
+    prog = make_program(name, "stream", step, tm=16)
+    max_err, rms = prog.check(seed=0)
+    assert max_err < MAX_TOL, f"max_err={max_err}"
+    assert rms < RMS_TOL
+
+
+def test_stream_matches_xla_exactly():
+    """Same dtype, same op order per output — stream vs xla should agree
+    to fp32 roundoff (not just golden tolerance)."""
+    spec = small_spec("2d5pt_star")
+    p_x = StencilProgram(spec, KernelConfig(variant="xla", step=1, interpret=True))
+    p_s = StencilProgram(spec, KernelConfig(variant="stream", step=1, tm=16, interpret=True))
+    sx = p_x.run_pairs(p_x.init_state(3), 2)
+    ss = p_s.run_pairs(p_s.init_state(3), 2)
+    np.testing.assert_allclose(p_s.final_a(ss), p_x.final_a(sx), rtol=2e-6, atol=1e-4)
+
+
+def test_boundary_frozen_stream():
+    spec = small_spec("2d9pt_box")
+    prog = StencilProgram(spec, KernelConfig(variant="stream", tm=16, interpret=True))
+    state = prog.init_state(1)
+    a0 = prog.final_a(state).copy()
+    state = prog.run_pairs(state, 2)
+    a2 = prog.final_a(state)
+    h = prog.an.halo
+    np.testing.assert_array_equal(a2[:h], a0[:h])
+    np.testing.assert_array_equal(a2[-h:], a0[-h:])
+    np.testing.assert_array_equal(a2[:, :h], a0[:, :h])
+    np.testing.assert_array_equal(a2[:, -h:], a0[:, -h:])
+
+
+@pytest.mark.parametrize("tm", [8, 16, 32, 64])
+def test_stream_tile_sweep_2d(tm):
+    spec = small_spec("2d5pt_star", dims=(64, 256))
+    prog = StencilProgram(spec, KernelConfig(variant="stream", step=2, tm=tm, interpret=True))
+    max_err, _ = prog.check(seed=2, pairs=1)
+    assert max_err < MAX_TOL
+
+
+def test_stream_3d_odd_rows():
+    """Streaming-axis size not divisible by tm (padded grid path)."""
+    spec = small_spec("3d7pt_star", dims=(24, 16, 128))
+    prog = StencilProgram(spec, KernelConfig(variant="stream", tm=16, interpret=True))
+    max_err, _ = prog.check(seed=0, pairs=1)
+    assert max_err < MAX_TOL
+
+
+def test_num_pairs_protocol():
+    spec = small_spec("2d5pt_star")
+    assert StencilProgram(spec, KernelConfig(variant="xla", step=1)).num_pairs() == 2
+    assert StencilProgram(spec, KernelConfig(variant="xla", step=2)).num_pairs() == 1
