@@ -45,6 +45,9 @@ class KernelConfig:
     def replace(self, **kw) -> "KernelConfig":
         return dataclasses.replace(self, **kw)
 
+    def replace_variant(self, variant: str) -> "KernelConfig":
+        return dataclasses.replace(self, variant=variant)
+
     def label(self) -> str:
         """Compact config name for logs — analogue of the reference's
         cfgToString (tuning.py:72-86) e.g. 'strip2d_fu2d2tm256'."""
