@@ -172,9 +172,10 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
 
         w = a_ref[...].astype(jnp.float32)
 
-        # out rows [h, tm + h) of this strip, all taps
+        # out rows [h, tm + h) of this strip, all taps (sorted group order —
+        # keeps fp32 summation order identical to the native emitter's)
         ext = None
-        for shift, rows in groups.items():
+        for shift, rows in sorted(groups.items()):
             ws = w
             for a, s in enumerate(shift):
                 if s:
