@@ -230,11 +230,17 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
     def tile_map(i):
         return (i,) + (0,) * nd_plane
 
+    def const_map(i):
+        return (0,) * (1 + nd_plane)
+
     in_specs = [
         pl.BlockSpec(window_shape, win_map, memory_space=pltpu.VMEM),
-        # lo/hi row slabs: full arrays, grid-invariant (fetched once)
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
+        # lo/hi row slabs: grid-invariant constant blocks.  (A shapeless
+        # full-array spec hangs this Mosaic build for 3D operands; an
+        # explicit block with a constant index map compiles fine and the
+        # pipeline hoists the fetch.)
+        pl.BlockSpec((h, *g.plane), const_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, *g.plane), const_map, memory_space=pltpu.VMEM),
     ]
     for a in range(nd_plane):
         fdims = tuple(2 * h if b == a else g.plane[b] for b in range(nd_plane))

@@ -1,0 +1,98 @@
+"""Autotuner search space + validity filtering.
+
+The analogue of the reference tuner's config enumeration and FilterParams
+(tuning.py:13-47, 124-139), with the GPU resource model replaced by a VMEM
+budget model:
+
+- ``step``/``dist`` constraints are the reference's: (step-1)*order <=
+  dist <= step*order (tuning.py:24-25) — enforced implicitly by running
+  the partition and catching "No data to reuse";
+- shared-memory-per-block budget (tuning.py:16-21) becomes a VMEM bytes
+  estimate: double-buffered window + out tile + slabs must fit;
+- thread-budget / halo-coverage checks become tile-shape validity
+  (tm multiple of 8, tm > aligned halo).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from drstencil_tpu.ir.passes import AnalysisError, analyze
+from drstencil_tpu.ir.spec import StencilSpec
+from drstencil_tpu.ops.config import KernelConfig
+from drstencil_tpu.ops import stream as stream_mod
+
+VMEM_BUDGET_BYTES = 100 * 1024 * 1024  # leave headroom under the 128MB core
+
+
+@dataclass(frozen=True)
+class Candidate:
+    cfg: KernelConfig
+    vmem_bytes: int
+    window: int
+
+
+def vmem_estimate(spec: StencilSpec, cfg: KernelConfig) -> Optional[Candidate]:
+    """VMEM bytes for the streaming kernel, or None if the config is
+    invalid for this stencil (the FilterParams role)."""
+    try:
+        an = analyze(spec, step=cfg.step, distance=cfg.distance,
+                     merge_forward=cfg.merge_forward)
+    except AnalysisError:
+        return None
+    try:
+        g = stream_mod.make_geometry(an, cfg)
+    except ValueError:
+        return None
+    plane = int(np.prod(g.plane))
+    item = np.dtype(cfg.dtype).itemsize
+    bytes_ = item * (
+        2 * g.window * plane          # double-buffered input window
+        + 2 * g.tm * plane            # double-buffered out tile
+        + 2 * an.halo * plane * (1 + len(g.plane))  # slabs + carry
+    )
+    if bytes_ > VMEM_BUDGET_BYTES:
+        return None
+    return Candidate(cfg=cfg, vmem_bytes=int(bytes_), window=g.window)
+
+
+def default_space(spec: StencilSpec) -> Iterator[Candidate]:
+    """Enumerate valid candidates for one stencil (streaming variants with
+    step/dist/tile sweeps, plus the XLA variant per step as a baseline)."""
+    is3d = spec.ndim == 3
+    tms = (64, 128, 256, 512) if not is3d else (8, 16, 32, 64, 128)
+    steps = (1, 2, 3)
+    seen = set()
+    for step in steps:
+        # reference dist range: [(step-1)*order, step*order], 0 = auto
+        from drstencil_tpu.ir.passes import fuse, order_of
+        base_order = order_of(fuse(spec.taps, 1))
+        dists = sorted(
+            {0}
+            | set(range(max(1, (step - 1) * base_order), step * base_order + 1))
+        )
+        for dist, tm in itertools.product(dists, tms):
+            cand = vmem_estimate(
+                spec, KernelConfig(variant="stream", step=step,
+                                   distance=dist, tm=tm)
+            )
+            if cand is None:
+                continue
+            key = cand.cfg.label()
+            if key in seen:
+                continue
+            seen.add(key)
+            yield cand
+        # XLA baseline variant (no tiling knobs)
+        try:
+            analyze(spec, step=step)
+        except AnalysisError:
+            continue
+        cfg = KernelConfig(variant="xla", step=step)
+        if cfg.label() not in seen:
+            seen.add(cfg.label())
+            yield Candidate(cfg=cfg, vmem_bytes=0, window=0)

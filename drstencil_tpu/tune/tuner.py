@@ -1,0 +1,199 @@
+"""Autotuner sweep driver — the reference's tuning.py reborn on TPU.
+
+Per config: build → compile → measure on device → (optionally) check
+correctness on device → score against the HBM roofline.  Artifacts mirror
+the reference's (SURVEY.md §5):
+
+- ``duration.log``     best-so-far (elapsed_s, ms_per_pair) lines
+  (tuning.py:104-110);
+- ``metrics.csv``      one row per config with kernel time + roofline
+  metrics (the gpuMetrics.csv analogue, 57 ncu metrics → our roofline
+  record);
+- ``ledger.json``      config → status/score; a killed sweep resumes
+  (upgrade over the reference, which only had append-only logs);
+- ``tuned.json``       best config per stencil (via tune.tuned).
+
+Failures (Mosaic crashes, VMEM OOM) are caught, logged as status=error,
+and the sweep continues — the reference's unchecked os.system behaviour
+(tuning.py:151-154) upgraded to skip-and-log.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import random
+import time
+from dataclasses import asdict, dataclass
+from typing import Optional
+
+from drstencil_tpu.ir.spec import StencilSpec
+from drstencil_tpu.ops.config import KernelConfig
+from drstencil_tpu.ops.runner import StencilProgram
+from drstencil_tpu.tune import tuned as tuned_mod
+from drstencil_tpu.tune.space import Candidate, default_space
+
+CHECK_TOL = 5e-3
+
+
+@dataclass
+class SweepResult:
+    best_cfg: Optional[KernelConfig]
+    best_ms: float
+    tried: int
+    errors: int
+
+
+class Tuner:
+    def __init__(self, spec: StencilSpec, out_dir: str,
+                 time_budget_s: float = 3600.0, pairs: int = 10,
+                 check: bool = True, seed: int = 0):
+        self.spec = spec
+        self.out_dir = out_dir
+        self.time_budget_s = time_budget_s
+        self.pairs = pairs
+        self.check = check
+        self.seed = seed
+        os.makedirs(out_dir, exist_ok=True)
+        self.ledger_path = os.path.join(out_dir, f"{spec.name}.ledger.json")
+        self.metrics_path = os.path.join(out_dir, "metrics.csv")
+        self.duration_path = os.path.join(out_dir, "duration.log")
+        self.ledger = self._load_ledger()
+
+    def _load_ledger(self) -> dict:
+        try:
+            with open(self.ledger_path) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _save_ledger(self):
+        with open(self.ledger_path, "w") as f:
+            json.dump(self.ledger, f, indent=1, sort_keys=True)
+
+    def _append_metrics(self, row: dict):
+        exists = os.path.exists(self.metrics_path)
+        with open(self.metrics_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            if not exists:
+                w.writeheader()
+            w.writerow(row)
+
+    def _log_best(self, elapsed: float, ms: float):
+        with open(self.duration_path, "a") as f:
+            f.write(f"{self.spec.name}: {elapsed:.0f} s, {ms:.4f} ms/pair\n")
+
+    def _measure(self, cand: Candidate) -> dict:
+        prog = StencilProgram(self.spec, cand.cfg)
+        entry: dict = {"config": asdict(cand.cfg)}
+        if self.check and cand.cfg.variant != "xla":
+            diff = prog.device_check(pairs=1)
+            entry["max_dev_diff"] = diff
+            if diff > CHECK_TOL:
+                entry["status"] = "check_failed"
+                return entry
+        res = prog.time(pairs=self.pairs)
+        entry.update(
+            status="ok",
+            ms_per_pair=res.seconds_per_pair * 1e3,
+            gstencil_per_s=res.gstencil_per_s,
+            eff_gbps=res.achieved_gbps,
+            roofline_frac=res.achieved_gbps / tuned_mod.HBM_PEAK_GBPS,
+        )
+        return entry
+
+    def sweep(self, max_configs: Optional[int] = None,
+              log=print) -> SweepResult:
+        start = time.time()
+        cands = list(default_space(self.spec))
+        rng = random.Random(self.seed)
+        rng.shuffle(cands)  # uniform sampling under the time cap
+        if max_configs:
+            cands = cands[:max_configs]
+
+        best_ms, best_cfg = float("inf"), None
+        # seed best from a previous (resumed) sweep
+        for label, entry in self.ledger.items():
+            if entry.get("status") == "ok" and entry["ms_per_pair"] < best_ms:
+                best_ms = entry["ms_per_pair"]
+                best_cfg = KernelConfig(**entry["config"])
+
+        tried = errors = 0
+        for i, cand in enumerate(cands):
+            label = cand.cfg.label()
+            if label in self.ledger:
+                continue  # resume: already measured
+            if time.time() - start > self.time_budget_s:
+                log(f"[{self.spec.name}] time budget reached")
+                break
+            tried += 1
+            log(f"[{self.spec.name}] {i + 1}/{len(cands)}: {label}")
+            try:
+                entry = self._measure(cand)
+            except Exception as e:  # Mosaic/compile/VMEM errors: skip+log
+                entry = {
+                    "config": asdict(cand.cfg),
+                    "status": "error",
+                    "error": str(e)[:500],
+                }
+                errors += 1
+            entry["elapsed_s"] = round(time.time() - start, 1)
+            self.ledger[label] = entry
+            self._save_ledger()
+            if entry.get("status") == "ok":
+                self._append_metrics(
+                    {
+                        "stencil": self.spec.name,
+                        "config": label,
+                        "ms_per_pair": round(entry["ms_per_pair"], 4),
+                        "gstencil_per_s": round(entry["gstencil_per_s"], 2),
+                        "eff_gbps": round(entry["eff_gbps"], 1),
+                        "roofline_frac": round(entry["roofline_frac"], 4),
+                        "vmem_bytes": cand.vmem_bytes,
+                        "window": cand.window,
+                        "max_dev_diff": entry.get("max_dev_diff", ""),
+                    }
+                )
+                if entry["ms_per_pair"] < best_ms:
+                    best_ms = entry["ms_per_pair"]
+                    best_cfg = cand.cfg
+                    self._log_best(time.time() - start, best_ms)
+
+        if best_cfg is not None:
+            tuned_mod.record_best(
+                self.spec.name, best_cfg,
+                {"ms_per_pair": best_ms},
+            )
+        return SweepResult(best_cfg=best_cfg, best_ms=best_ms,
+                           tried=tried, errors=errors)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="drstencil_tpu autotuner")
+    ap.add_argument("stc", help=".stc file to tune")
+    ap.add_argument("--out-dir", default="tuning")
+    ap.add_argument("--budget", type=float, default=3600.0,
+                    help="wall-clock budget in seconds (reference: 1h cap)")
+    ap.add_argument("--pairs", type=int, default=10)
+    ap.add_argument("--max-configs", type=int, default=None)
+    ap.add_argument("--no-check", action="store_true")
+    args = ap.parse_args(argv)
+
+    from drstencil_tpu.ir.spec import load_stc
+
+    spec = load_stc(args.stc)
+    tuner = Tuner(spec, args.out_dir, time_budget_s=args.budget,
+                  pairs=args.pairs, check=not args.no_check)
+    res = tuner.sweep(max_configs=args.max_configs)
+    print(
+        f"best for {spec.name}: "
+        f"{res.best_cfg.label() if res.best_cfg else 'none'} "
+        f"at {res.best_ms:.4f} ms/pair ({res.tried} tried, {res.errors} errors)"
+    )
+
+
+if __name__ == "__main__":
+    main()

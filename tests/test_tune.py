@@ -1,0 +1,98 @@
+"""Autotuner tests: space filtering, ledger resume, artifact files."""
+
+import json
+import os
+
+import pytest
+
+from drstencil_tpu.ops.config import KernelConfig
+from drstencil_tpu.tune import tuned as tuned_mod
+from drstencil_tpu.tune.space import default_space, vmem_estimate
+from drstencil_tpu.tune.tuner import Tuner
+
+from conftest import small_spec
+
+
+def test_space_nonempty_and_valid():
+    spec = small_spec("2d5pt_star")
+    cands = list(default_space(spec))
+    assert len(cands) >= 4
+    labels = [c.cfg.label() for c in cands]
+    assert len(set(labels)) == len(labels)  # no duplicates
+    assert any(c.cfg.variant == "xla" for c in cands)
+    assert any(c.cfg.variant == "stream" for c in cands)
+
+
+def test_space_cross_stencil_excludes_step1_stream():
+    spec = small_spec("2d5pt_cross")
+    cands = list(default_space(spec))
+    assert all(
+        not (c.cfg.variant == "stream" and c.cfg.step == 1) for c in cands
+    )
+
+
+def test_vmem_filter():
+    spec = small_spec("3d7pt_star", dims=(512, 512, 512))
+    # an enormous tile must be rejected by the VMEM model
+    big = KernelConfig(variant="stream", step=1, tm=512)
+    assert vmem_estimate(spec, big) is None
+    ok = KernelConfig(variant="stream", step=1, tm=16)
+    cand = vmem_estimate(spec, ok)
+    assert cand is not None and cand.vmem_bytes > 0
+
+
+def test_sweep_and_resume(tmp_path):
+    spec = small_spec("2d5pt_star", dims=(32, 256))
+    out = str(tmp_path)
+
+    class InterpretTuner(Tuner):
+        # run configs in interpret mode (no TPU in CI)
+        def _measure(self, cand):
+            cand = type(cand)(
+                cfg=cand.cfg.replace(interpret=True),
+                vmem_bytes=cand.vmem_bytes,
+                window=cand.window,
+            )
+            return super()._measure(cand)
+
+    tuned_mod.TUNED_PATH, orig = os.path.join(out, "tuned.json"), tuned_mod.TUNED_PATH
+    try:
+        tuner = InterpretTuner(spec, out, pairs=1, check=False)
+        res = tuner.sweep(max_configs=3, log=lambda *_: None)
+        assert res.best_cfg is not None
+        assert res.tried == 3
+        assert os.path.exists(tuner.ledger_path)
+        assert os.path.exists(tuner.metrics_path)
+        assert os.path.exists(tuner.duration_path)
+
+        with open(tuner.ledger_path) as f:
+            ledger = json.load(f)
+        n_before = len(ledger)
+
+        # resume: same 3 configs are skipped, nothing re-measured
+        tuner2 = InterpretTuner(spec, out, pairs=1, check=False)
+        res2 = tuner2.sweep(max_configs=3, log=lambda *_: None)
+        assert res2.tried == 0
+        assert res2.best_cfg is not None  # seeded from ledger
+
+        # tuned.json recorded the best config
+        with open(tuned_mod.TUNED_PATH) as f:
+            best = json.load(f)
+        assert spec.name in best
+    finally:
+        tuned_mod.TUNED_PATH = orig
+
+
+def test_error_config_skipped_and_logged(tmp_path):
+    spec = small_spec("2d5pt_star", dims=(32, 256))
+
+    class BoomTuner(Tuner):
+        def _measure(self, cand):
+            raise RuntimeError("mosaic exploded")
+
+    tuner = BoomTuner(spec, str(tmp_path), check=False)
+    res = tuner.sweep(max_configs=2, log=lambda *_: None)
+    assert res.errors == 2
+    with open(tuner.ledger_path) as f:
+        ledger = json.load(f)
+    assert all(e["status"] == "error" for e in ledger.values())
