@@ -1,0 +1,63 @@
+"""``python -m drstencil_tpu.cli`` — Python front door to the compiler.
+
+Mirrors the native CLI (native/main.cpp); uses the native core through the
+ctypes bridge (building it on demand), so the analysis and emission are
+the production C++ path either way.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from drstencil_tpu import native_bridge
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="drstencil",
+        description="Generate a data-reusing TPU stencil program (Pallas).",
+    )
+    ap.add_argument("stc", help="input .stc file")
+    ap.add_argument("-o", "--output", default="out.py")
+    ap.add_argument("--step", type=int, default=1)
+    ap.add_argument("--dist", type=int, default=0)
+    ap.add_argument("--bx", type=int, default=0,
+                    help="rows per streaming strip (0 = auto)")
+    ap.add_argument("--merge-forward", type=int, default=5)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--check", action="store_true")
+    ap.add_argument("--gold", action="store_true")
+    ap.add_argument("--dump-analysis", action="store_true")
+    args = ap.parse_args(argv)
+
+    with open(args.stc) as f:
+        text = f.read()
+    name = args.stc.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+
+    try:
+        if args.dump_analysis:
+            out = native_bridge.analyze(
+                text, name, step=args.step, distance=args.dist,
+                merge_forward=args.merge_forward,
+            )
+            json.dump(out, sys.stdout)
+            print()
+            return 0
+        program = native_bridge.emit(
+            text, name, step=args.step, distance=args.dist,
+            merge_forward=args.merge_forward, tm=args.bx,
+            check=args.check, gold_only=args.gold, dtype=args.dtype,
+        )
+    except native_bridge.NativeError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    with open(args.output, "w") as f:
+        f.write(program)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -178,22 +178,22 @@ class StencilProgram:
         if self.geom is None:
             return {"a": a0, "b": b0}
         g = self.geom
+        h, W, fw = g.halo, g.width, g.face_width
 
         def pad(x):
-            buf = jnp.zeros((g.rows_padded, *g.plane), dt)
+            buf = jnp.zeros((g.rows_padded, W), dt)
             return jax.lax.dynamic_update_slice(
-                buf, x, (g.hr,) + (0,) * len(g.plane)
+                buf, x.reshape(g.rows, W), (g.hr, 0)
             )
 
         def slabs(x, xp):
-            h = g.halo
-            out = [x[:h], x[-h:]]
-            for a in range(len(g.plane)):
-                lo = jax.lax.slice_in_dim(xp, 0, h, axis=1 + a)
-                hi = jax.lax.slice_in_dim(
-                    xp, g.plane[a] - h, g.plane[a], axis=1 + a
-                )
-                out.append(jnp.concatenate([lo, hi], axis=1 + a))
+            xf = x.reshape(g.rows, W)
+            out = [xf[:h], xf[-h:],
+                   jnp.concatenate([xp[:, :fw], xp[:, W - fw:]], axis=1)]
+            if len(g.plane) == 2:
+                m, n = g.plane
+                v = xp.reshape(g.rows_padded * m, n)
+                out.append(jnp.concatenate([v[:, :h], v[:, n - h:]], axis=1))
             return tuple(out)
 
         @jax.jit

@@ -17,23 +17,25 @@ TPU-native redesign of the reference's streaming CUDA kernel
   atomics;
 - the reference never writes the boundary frame (fixed Dirichlet cells);
   here the frozen frame values are composited in-kernel from tiny slab
-  inputs, so no extra XLA pass touches the big buffers;
+  inputs, so no extra pass touches the big buffers;
 - thread coarsening (block/cyclic merge) is tile-shape selection; the
   reference's ``--prefetch`` double-buffering is automatic in the Pallas
   pipeline.
 
 State buffers are stored *padded* along axis 0 (``hr`` zero rows below the
 real rows, and enough above to keep every window in-bounds), which keeps
-all index maps affine.  3D grids (L, M, N) use the same kernel with plane
-shape (M, N): z is the streamed axis, j/i shifts are in-plane rolls whose
-wrap-around only corrupts frame cells that the slab composite overwrites.
+all index maps affine, and **flattened to 2D**: a 3D grid (L, M, N) is
+held as (L, M·N) so z is the streamed axis and j/i shifts become lane
+shifts by ``dj·N + di``.  The kernel then only ever manipulates 2D refs
+(this Mosaic compiles 3D sub-block writes pathologically slowly).  In the
+flat layout the j-frame is lane-contiguous and composited in-kernel; the
+strided i-frame is restored outside via two dynamic_update_slices on a
+free (L', M·N) → (L'·M, N) reshape view — ~2H/N extra traffic.
 """
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -52,7 +54,7 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclass(frozen=True)
 class StreamGeometry:
-    """Padded-buffer geometry for the streaming kernel."""
+    """Padded flat-buffer geometry for the streaming kernel."""
 
     dims: Tuple[int, ...]   # real dims, axis 0 = streaming
     halo: int               # fused order H
@@ -66,6 +68,11 @@ class StreamGeometry:
         return self.dims[1:]
 
     @property
+    def width(self) -> int:
+        """Flattened lane width: N (2D) or M·N (3D)."""
+        return int(np.prod(self.plane))
+
+    @property
     def rows(self) -> int:
         return self.dims[0]
 
@@ -74,6 +81,12 @@ class StreamGeometry:
         """VMEM window rows per grid step (strip + halo above/below) — the
         analogue of the reference's shm ``Range`` (codegen.hpp:89)."""
         return self.tm + 2 * self.hr
+
+    @property
+    def face_width(self) -> int:
+        """Lane width of the in-plane frame composited in-kernel: h lanes
+        (2D) or h·N lanes (the 3D j-frame, lane-contiguous when flat)."""
+        return self.halo * (self.plane[-1] if len(self.plane) == 2 else 1)
 
 
 def make_geometry(an: Analysis, cfg: KernelConfig) -> StreamGeometry:
@@ -93,7 +106,7 @@ def make_geometry(an: Analysis, cfg: KernelConfig) -> StreamGeometry:
 
 
 def default_tm(dims: Tuple[int, ...]) -> int:
-    """Strip height keeping the VMEM working set around 16–32 MB."""
+    """Strip height keeping the VMEM working set around 24 MB."""
     plane_elems = int(np.prod(dims[1:])) if len(dims) > 1 else 1
     budget = 24 * 1024 * 1024 // 4  # fp32 elements for window + out
     tm = budget // (2 * max(plane_elems, 1))
@@ -102,39 +115,46 @@ def default_tm(dims: Tuple[int, ...]) -> int:
 
 
 def pad_state(x: np.ndarray, g: StreamGeometry) -> np.ndarray:
-    """Embed a real-shaped array into the padded streaming layout."""
-    out = np.zeros((g.rows_padded, *g.plane), dtype=x.dtype)
-    out[g.hr : g.hr + g.rows] = x
+    """Embed a real-shaped array into the padded flat streaming layout."""
+    out = np.zeros((g.rows_padded, g.width), dtype=x.dtype)
+    out[g.hr : g.hr + g.rows] = np.asarray(x).reshape(g.rows, g.width)
     return out
 
 
 def unpad_state(x, g: StreamGeometry):
-    return x[g.hr : g.hr + g.rows]
+    return x[g.hr : g.hr + g.rows].reshape(g.dims)
 
 
 def make_slabs(x: np.ndarray, g: StreamGeometry):
     """Frozen boundary-frame slabs for one ping-pong buffer.
 
-    The frame of a buffer never changes during the run (the reference's
-    kernels never write cells within ``halo`` of any face), so the slabs
-    are computed once from the initial state:
+    A buffer's frame never changes during the run (the reference's kernels
+    never write cells within ``halo`` of any face), so the slabs are
+    computed once from the initial state:
 
-    - ``lo`` / ``hi``: the first/last H real rows, full plane;
-    - per in-plane axis a: a (rows_padded, ..., 2H, ...) slab holding the
-      low H and high H faces along that axis.
+    - ``lo`` / ``hi``: the first/last H real rows, flattened plane;
+    - ``face``: the in-plane lane-contiguous frame (columns in 2D, the
+      j-frame in 3D), low face then high face, padded-row indexed;
+    - 3D only, ``iframe``: the per-(row, j) i-frame as a (rows·M, 2H)
+      table for the post-kernel fixup.
     """
     h = g.halo
-    xp = pad_state(x, g)
-    slabs = [np.ascontiguousarray(x[:h]), np.ascontiguousarray(x[-h:])]
-    for a in range(len(g.plane)):
-        lo = np.take(xp, np.arange(0, h), axis=1 + a)
-        hi = np.take(xp, np.arange(g.plane[a] - h, g.plane[a]), axis=1 + a)
-        slabs.append(np.concatenate([lo, hi], axis=1 + a))
-    return tuple(slabs)
+    xf = np.asarray(x).reshape(g.rows, g.width)
+    xp = pad_state(xf, g)
+    lo = np.ascontiguousarray(xf[:h])
+    hi = np.ascontiguousarray(xf[-h:])
+    fw = g.face_width
+    face = np.concatenate([xp[:, :fw], xp[:, g.width - fw :]], axis=1)
+    if len(g.plane) == 1:
+        return (lo, hi, face)
+    m, n = g.plane
+    v = xp.reshape(g.rows_padded * m, n)
+    iframe = np.concatenate([v[:, :h], v[:, n - h :]], axis=1)
+    return (lo, hi, face, iframe)
 
 
 def build_stream_kernel(an: Analysis, cfg: KernelConfig):
-    """Build f(padded_src, *dst_slabs) -> padded_dst applying the fused
+    """Build f(padded_src, dst_slabs) -> padded_dst applying the fused
     operator to the interior with dst's frozen frame composited in.
 
     Returns (f, geometry).  ``f`` is pure and jittable; dst is a fresh
@@ -142,14 +162,17 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
     """
     g = make_geometry(an, cfg)
     h, hr, tm = g.halo, g.hr, g.tm
-    nd_plane = len(g.plane)
+    W = g.width
+    fw = g.face_width
     dtype = jnp.dtype(cfg.dtype)
+    lane_n = g.plane[-1]
 
-    # Group fused taps by in-plane shift so each distinct shift rolls the
-    # window once; the streaming-axis offset becomes a row slice.
-    groups: dict[Tuple[int, ...], list] = {}
+    # Group fused taps by flattened lane shift so each distinct shift rolls
+    # the window once; the streaming-axis offset becomes a row slice.
+    groups: dict[int, list] = {}
     for off, coe in sorted(an.fused.items()):
-        groups.setdefault(off[1:], []).append((off[0], coe))
+        s = off[1] if len(off) == 2 else off[1] * lane_n + off[2]
+        groups.setdefault(s, []).append((off[0], coe))
 
     # Static row-frame placement: which strip holds the low/high H real
     # rows, and at which in-strip offset (padded row = real row + hr).
@@ -164,22 +187,15 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
         hi_splits.append((hi_strip, hi_off, 0, first))
         hi_splits.append((hi_strip + 1, 0, first, h - first))
 
-    def kernel(a_ref, lo_ref, hi_ref, *rest):
-        face_refs = rest[:nd_plane]
-        o_ref = rest[nd_plane]
-        carry = rest[nd_plane + 1]
+    def kernel(a_ref, lo_ref, hi_ref, face_ref, o_ref, carry):
         i = pl.program_id(0)
-
         w = a_ref[...].astype(jnp.float32)
 
         # out rows [h, tm + h) of this strip, all taps (sorted group order —
         # keeps fp32 summation order identical to the native emitter's)
         ext = None
-        for shift, rows in sorted(groups.items()):
-            ws = w
-            for a, s in enumerate(shift):
-                if s:
-                    ws = jnp.roll(ws, -s, axis=1 + a)
+        for s, rows in sorted(groups.items()):
+            ws = jnp.roll(w, -s, axis=1) if s else w
             for d, coe in rows:
                 term = jnp.asarray(coe, jnp.float32) * ws[h + d : h + d + tm]
                 ext = term if ext is None else ext + term
@@ -190,26 +206,9 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
         o_ref[h:tm] = ext[0 : tm - h]
         carry[...] = ext[tm - h : tm]
 
-        # frozen frame composite — in-plane faces every strip
-        for a in range(nd_plane):
-            f_ref = face_refs[a]
-            idx_lo = tuple(
-                [slice(None)]
-                + [slice(0, h) if b == a else slice(None) for b in range(nd_plane)]
-            )
-            idx_hi_src = tuple(
-                [slice(None)]
-                + [slice(h, 2 * h) if b == a else slice(None) for b in range(nd_plane)]
-            )
-            idx_hi_dst = tuple(
-                [slice(None)]
-                + [
-                    slice(g.plane[b] - h, g.plane[b]) if b == a else slice(None)
-                    for b in range(nd_plane)
-                ]
-            )
-            o_ref[idx_lo] = f_ref[idx_lo]
-            o_ref[idx_hi_dst] = f_ref[idx_hi_src]
+        # frozen in-plane frame (columns / 3D j-frame), every strip
+        o_ref[:, 0:fw] = face_ref[:, 0:fw]
+        o_ref[:, W - fw : W] = face_ref[:, fw : 2 * fw]
 
         # streaming-axis frame rows (static strip/offset, per-strip gate)
         @pl.when(i == lo_strip)
@@ -222,47 +221,38 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
             def _(strip=strip, loc=loc, src=src, ln=ln):
                 o_ref[loc : loc + ln] = hi_ref[src : src + ln]
 
-    window_shape = (pl.Element(g.window), *(pl.Element(p) for p in g.plane))
-
     def win_map(i):
-        return (i * tm,) + (0,) * nd_plane
+        return (i * tm, 0)
 
     def tile_map(i):
-        return (i,) + (0,) * nd_plane
+        return (i, 0)
 
     def const_map(i):
-        return (0,) * (1 + nd_plane)
+        return (0, 0)
 
     in_specs = [
-        pl.BlockSpec(window_shape, win_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (pl.Element(g.window), pl.Element(W)), win_map,
+            memory_space=pltpu.VMEM,
+        ),
         # lo/hi row slabs: grid-invariant constant blocks.  (A shapeless
-        # full-array spec hangs this Mosaic build for 3D operands; an
-        # explicit block with a constant index map compiles fine and the
-        # pipeline hoists the fetch.)
-        pl.BlockSpec((h, *g.plane), const_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, *g.plane), const_map, memory_space=pltpu.VMEM),
+        # full-array spec hangs this Mosaic build; an explicit block with
+        # a constant index map compiles fine.)
+        pl.BlockSpec((h, W), const_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, W), const_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, 2 * fw), tile_map, memory_space=pltpu.VMEM),
     ]
-    for a in range(nd_plane):
-        fdims = tuple(2 * h if b == a else g.plane[b] for b in range(nd_plane))
-        in_specs.append(
-            pl.BlockSpec((tm, *fdims), tile_map, memory_space=pltpu.VMEM)
-        )
-
-    out_spec = pl.BlockSpec((tm, *g.plane), tile_map, memory_space=pltpu.VMEM)
-
-    vmem_bytes = 4 * (
-        2 * g.window * int(np.prod(g.plane)) + 2 * tm * int(np.prod(g.plane))
-    ) + 4 * 4 * h * int(np.prod(g.plane))
+    out_spec = pl.BlockSpec((tm, W), tile_map, memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
         kernel,
         grid=(g.n_strips,),
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((g.rows_padded, *g.plane), dtype),
-        scratch_shapes=[pltpu.VMEM((h, *g.plane), dtype)],
+        out_shape=jax.ShapeDtypeStruct((g.rows_padded, W), dtype),
+        scratch_shapes=[pltpu.VMEM((h, W), dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(128 * 1024 * 1024, max(vmem_bytes * 2, 1 << 20)),
+            vmem_limit_bytes=128 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * len(an.fused) * int(np.prod(g.dims)),
@@ -272,8 +262,24 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
         interpret=cfg.interpret,
     )
 
-    def f(src_padded, dst_slabs):
-        lo, hi, *faces = dst_slabs
-        return call(src_padded, lo, hi, *faces)
+    if len(g.plane) == 1:
+
+        def f(src_padded, dst_slabs):
+            lo, hi, face = dst_slabs
+            return call(src_padded, lo, hi, face)
+
+    else:
+        m, n = g.plane
+        rows_total = g.rows_padded * m
+
+        def f(src_padded, dst_slabs):
+            lo, hi, face, iframe = dst_slabs
+            out = call(src_padded, lo, hi, face)
+            # strided i-frame fixup on a contiguity-preserving reshape
+            # view: touches 2h/n of the buffer, in place under donation
+            v = out.reshape(rows_total, n)
+            v = jax.lax.dynamic_update_slice(v, iframe[:, :h], (0, 0))
+            v = jax.lax.dynamic_update_slice(v, iframe[:, h:], (0, n - h))
+            return v.reshape(g.rows_padded, W)
 
     return f, g
