@@ -178,21 +178,22 @@ class StencilProgram:
         if self.geom is None:
             return {"a": a0, "b": b0}
         g = self.geom
-        h, W, fw = g.halo, g.width, g.face_width
+        h, W, fw, pc = g.halo, g.width, g.face_width, g.pc
 
         def pad(x):
-            buf = jnp.zeros((g.rows_padded, W), dt)
+            buf = jnp.zeros((g.rows_padded, g.wb), dt)
             return jax.lax.dynamic_update_slice(
-                buf, x.reshape(g.rows, W), (g.hr, 0)
+                buf, x.reshape(g.rows, W), (g.hr, pc)
             )
 
         def slabs(x, xp):
             xf = x.reshape(g.rows, W)
+            real = xp[:, pc : pc + W]
             out = [xf[:h], xf[-h:],
-                   jnp.concatenate([xp[:, :fw], xp[:, W - fw:]], axis=1)]
+                   jnp.concatenate([real[:, :fw], real[:, W - fw:]], axis=1)]
             if len(g.plane) == 2:
-                m, n = g.plane
-                v = xp.reshape(g.rows_padded * m, n)
+                n = g.plane[-1]
+                v = xp.reshape(-1, n)
                 out.append(jnp.concatenate([v[:, :h], v[:, n - h:]], axis=1))
             return tuple(out)
 

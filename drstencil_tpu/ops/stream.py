@@ -31,6 +31,15 @@ shifts by ``dj·N + di``.  The kernel then only ever manipulates 2D refs
 flat layout the j-frame is lane-contiguous and composited in-kernel; the
 strided i-frame is restored outside via two dynamic_update_slices on a
 free (L', M·N) → (L'·M, N) reshape view — ~2H/N extra traffic.
+
+Rows are additionally **lane-padded** by ``pc`` junk lanes per side
+(a whole multiple of N in 3D, keeping the reshape trick) so that every
+tap's lane shift is a *static in-bounds slice* of the VMEM window rather
+than a roll — shifts that are multiples of N (the dj·N part) land
+128-aligned and are free views; jnp.roll with plane-sized amounts both
+compiled pathologically (>10 min) and materializes copies.  Padding lanes
+are never written and only feed frame outputs that the composite
+overwrites.
 """
 
 from __future__ import annotations
@@ -69,8 +78,22 @@ class StreamGeometry:
 
     @property
     def width(self) -> int:
-        """Flattened lane width: N (2D) or M·N (3D)."""
+        """Flattened *real* lane width: N (2D) or M·N (3D)."""
         return int(np.prod(self.plane))
+
+    @property
+    def pc(self) -> int:
+        """Junk lane padding per side: covers the largest tap lane shift,
+        128-aligned; a multiple of N in 3D so the (rows, wb) buffer still
+        reshapes to (rows·M', N) for the i-frame fixup."""
+        if len(self.plane) == 1:
+            return _round_up(self.halo, 128)
+        return (self.halo + 1) * self.plane[-1]
+
+    @property
+    def wb(self) -> int:
+        """Stored lane width: pc + width + pc."""
+        return self.width + 2 * self.pc
 
     @property
     def rows(self) -> int:
@@ -116,13 +139,15 @@ def default_tm(dims: Tuple[int, ...]) -> int:
 
 def pad_state(x: np.ndarray, g: StreamGeometry) -> np.ndarray:
     """Embed a real-shaped array into the padded flat streaming layout."""
-    out = np.zeros((g.rows_padded, g.width), dtype=x.dtype)
-    out[g.hr : g.hr + g.rows] = np.asarray(x).reshape(g.rows, g.width)
+    out = np.zeros((g.rows_padded, g.wb), dtype=x.dtype)
+    out[g.hr : g.hr + g.rows, g.pc : g.pc + g.width] = np.asarray(x).reshape(
+        g.rows, g.width
+    )
     return out
 
 
 def unpad_state(x, g: StreamGeometry):
-    return x[g.hr : g.hr + g.rows].reshape(g.dims)
+    return x[g.hr : g.hr + g.rows, g.pc : g.pc + g.width].reshape(g.dims)
 
 
 def make_slabs(x: np.ndarray, g: StreamGeometry):
@@ -135,8 +160,9 @@ def make_slabs(x: np.ndarray, g: StreamGeometry):
     - ``lo`` / ``hi``: the first/last H real rows, flattened plane;
     - ``face``: the in-plane lane-contiguous frame (columns in 2D, the
       j-frame in 3D), low face then high face, padded-row indexed;
-    - 3D only, ``iframe``: the per-(row, j) i-frame as a (rows·M, 2H)
-      table for the post-kernel fixup.
+    - 3D only, ``iframe``: the per-(row, j) i-frame as a (rows·M', 2H)
+      table for the post-kernel fixup (M' includes the lane-pad
+      pseudo-rows so the reshape view lines up).
     """
     h = g.halo
     xf = np.asarray(x).reshape(g.rows, g.width)
@@ -144,11 +170,12 @@ def make_slabs(x: np.ndarray, g: StreamGeometry):
     lo = np.ascontiguousarray(xf[:h])
     hi = np.ascontiguousarray(xf[-h:])
     fw = g.face_width
-    face = np.concatenate([xp[:, :fw], xp[:, g.width - fw :]], axis=1)
+    real = xp[:, g.pc : g.pc + g.width]
+    face = np.concatenate([real[:, :fw], real[:, g.width - fw :]], axis=1)
     if len(g.plane) == 1:
         return (lo, hi, face)
-    m, n = g.plane
-    v = xp.reshape(g.rows_padded * m, n)
+    n = g.plane[-1]
+    v = xp.reshape(-1, n)
     iframe = np.concatenate([v[:, :h], v[:, n - h :]], axis=1)
     return (lo, hi, face, iframe)
 
@@ -162,17 +189,19 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
     """
     g = make_geometry(an, cfg)
     h, hr, tm = g.halo, g.hr, g.tm
-    W = g.width
+    W, pc, wb = g.width, g.pc, g.wb
     fw = g.face_width
     dtype = jnp.dtype(cfg.dtype)
     lane_n = g.plane[-1]
 
-    # Group fused taps by flattened lane shift so each distinct shift rolls
-    # the window once; the streaming-axis offset becomes a row slice.
-    groups: dict[int, list] = {}
+    # Each tap is a (row offset, flattened lane shift, coeff) triple; lane
+    # shifts become static slices of the lane-padded window.  Sorted order
+    # keeps fp32 summation identical to the native emitter's.
+    taps = []
     for off, coe in sorted(an.fused.items()):
         s = off[1] if len(off) == 2 else off[1] * lane_n + off[2]
-        groups.setdefault(s, []).append((off[0], coe))
+        taps.append((off[0], s, coe))
+    taps.sort(key=lambda t: (t[1], t[0]))
 
     # Static row-frame placement: which strip holds the low/high H real
     # rows, and at which in-strip offset (padded row = real row + hr).
@@ -191,35 +220,37 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
         i = pl.program_id(0)
         w = a_ref[...].astype(jnp.float32)
 
-        # out rows [h, tm + h) of this strip, all taps (sorted group order —
-        # keeps fp32 summation order identical to the native emitter's)
+        # out rows [h, tm + h) of this strip: every tap is a static
+        # (row, lane) slice of the window — lane starts pc+s are aligned
+        # free views for the dj·N shifts, small relayouts for di
         ext = None
-        for s, rows in sorted(groups.items()):
-            ws = jnp.roll(w, -s, axis=1) if s else w
-            for d, coe in rows:
-                term = jnp.asarray(coe, jnp.float32) * ws[h + d : h + d + tm]
-                ext = term if ext is None else ext + term
+        for d, s, coe in taps:
+            term = (
+                jnp.asarray(coe, jnp.float32)
+                * w[h + d : h + d + tm, pc + s : pc + s + W]
+            )
+            ext = term if ext is None else ext + term
         ext = ext.astype(dtype)
 
         # straddle carry: rows [0, h) come from the previous strip's work
-        o_ref[0:h] = carry[...]
-        o_ref[h:tm] = ext[0 : tm - h]
+        o_ref[0:h, pc : pc + W] = carry[...]
+        o_ref[h:tm, pc : pc + W] = ext[0 : tm - h]
         carry[...] = ext[tm - h : tm]
 
         # frozen in-plane frame (columns / 3D j-frame), every strip
-        o_ref[:, 0:fw] = face_ref[:, 0:fw]
-        o_ref[:, W - fw : W] = face_ref[:, fw : 2 * fw]
+        o_ref[:, pc : pc + fw] = face_ref[:, 0:fw]
+        o_ref[:, pc + W - fw : pc + W] = face_ref[:, fw : 2 * fw]
 
         # streaming-axis frame rows (static strip/offset, per-strip gate)
         @pl.when(i == lo_strip)
         def _():
-            o_ref[lo_off : lo_off + h] = lo_ref[...]
+            o_ref[lo_off : lo_off + h, pc : pc + W] = lo_ref[...]
 
         for strip, loc, src, ln in hi_splits:
 
             @pl.when(i == strip)
             def _(strip=strip, loc=loc, src=src, ln=ln):
-                o_ref[loc : loc + ln] = hi_ref[src : src + ln]
+                o_ref[loc : loc + ln, pc : pc + W] = hi_ref[src : src + ln]
 
     def win_map(i):
         return (i * tm, 0)
@@ -232,7 +263,7 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
 
     in_specs = [
         pl.BlockSpec(
-            (pl.Element(g.window), pl.Element(W)), win_map,
+            (pl.Element(g.window), pl.Element(wb)), win_map,
             memory_space=pltpu.VMEM,
         ),
         # lo/hi row slabs: grid-invariant constant blocks.  (A shapeless
@@ -242,14 +273,14 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
         pl.BlockSpec((h, W), const_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((tm, 2 * fw), tile_map, memory_space=pltpu.VMEM),
     ]
-    out_spec = pl.BlockSpec((tm, W), tile_map, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tm, wb), tile_map, memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
         kernel,
         grid=(g.n_strips,),
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((g.rows_padded, W), dtype),
+        out_shape=jax.ShapeDtypeStruct((g.rows_padded, wb), dtype),
         scratch_shapes=[pltpu.VMEM((h, W), dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
@@ -269,8 +300,8 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
             return call(src_padded, lo, hi, face)
 
     else:
-        m, n = g.plane
-        rows_total = g.rows_padded * m
+        n = g.plane[-1]
+        rows_total = g.rows_padded * g.wb // n
 
         def f(src_padded, dst_slabs):
             lo, hi, face, iframe = dst_slabs
@@ -280,6 +311,6 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
             v = out.reshape(rows_total, n)
             v = jax.lax.dynamic_update_slice(v, iframe[:, :h], (0, 0))
             v = jax.lax.dynamic_update_slice(v, iframe[:, h:], (0, n - h))
-            return v.reshape(g.rows_padded, W)
+            return v.reshape(g.rows_padded, g.wb)
 
     return f, g

@@ -183,5 +183,7 @@ def test_emitted_matches_library_runtime(tmp_path):
     sb = g["make_slabs"](b0)
     b = apply_fn(jax.numpy.asarray(a), tuple(map(jax.numpy.asarray, sb)))
     a = apply_fn(b, tuple(map(jax.numpy.asarray, sa)))
-    gen_out = np.asarray(a)[g["HR"] : g["HR"] + 64]
+    gen_out = np.asarray(a)[
+        g["HR"] : g["HR"] + 64, g["PC"] : g["PC"] + g["W"]
+    ]
     np.testing.assert_array_equal(gen_out, lib_out)
