@@ -39,6 +39,9 @@ class KernelConfig:
     tl: Optional[int] = None  # streaming axis chunk (3D)
     # precision of device buffers
     dtype: str = "float32"
+    # lane-shift strategy: "slice" (static slices into pad lanes),
+    # "roll" (wrap-around, no padding), None = auto by lane width
+    lane_mode: Optional[str] = None
     # run kernels in the Pallas interpreter (for off-TPU tests)
     interpret: bool = False
 

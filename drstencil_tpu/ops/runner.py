@@ -178,29 +178,32 @@ class StencilProgram:
         if self.geom is None:
             return {"a": a0, "b": b0}
         g = self.geom
-        h, W, fw, pc = g.halo, g.width, g.face_width, g.pc
+        h, N, pc, fr = g.halo, g.lanes, g.pc, g.frame_rows
 
         def pad(x):
             buf = jnp.zeros((g.rows_padded, g.wb), dt)
             return jax.lax.dynamic_update_slice(
-                buf, x.reshape(g.rows, W), (g.hr, pc)
+                buf, x.reshape(g.rows, N), (g.pr, pc)
             )
 
-        def slabs(x, xp):
-            xf = x.reshape(g.rows, W)
-            real = xp[:, pc : pc + W]
-            out = [xf[:h], xf[-h:],
-                   jnp.concatenate([real[:, :fw], real[:, W - fw:]], axis=1)]
-            if len(g.plane) == 2:
-                n = g.plane[-1]
-                v = xp.reshape(-1, n)
-                out.append(jnp.concatenate([v[:, :h], v[:, n - h:]], axis=1))
+        def slabs(xp):
+            r0 = g.pr
+            real = xp[:, pc : pc + N]
+            out = [xp[r0 : r0 + fr],
+                   xp[r0 + g.rows - fr : r0 + g.rows],
+                   jnp.concatenate([real[:, :h], real[:, N - h:]], axis=1)]
+            if len(g.dims) == 3:
+                m = g.mid
+                v = xp.reshape(g.rows_padded // m, m, g.wb)
+                out.append(
+                    jnp.concatenate([v[:, :h, :], v[:, m - h:, :]], axis=1)
+                )
             return tuple(out)
 
         @jax.jit
         def mk_padded(a0, b0):
             ap, bp = pad(a0), pad(b0)
-            return ap, bp, slabs(a0, ap), slabs(b0, bp)
+            return ap, bp, slabs(ap), slabs(bp)
 
         ap, bp, sa, sb = mk_padded(a0, b0)
         return {"a": ap, "b": bp, "slabs_a": sa, "slabs_b": sb}

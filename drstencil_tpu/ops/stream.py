@@ -5,10 +5,10 @@ TPU-native redesign of the reference's streaming CUDA kernel
 
 - the reference streams one axis per thread block, holding a revolving
   window of ``Range`` planes in shared memory; here the Pallas grid walks
-  the streaming axis (axis 0) in ``tm``-row strips, and each grid step's
-  VMEM window is the strip plus ``2·hr`` halo rows fetched via an
-  overlapping *Element* input BlockSpec (affine in-bounds index map —
-  that is what this Mosaic supports);
+  a *row-major flattened* grid in ``tm``-row strips, and each grid step's
+  VMEM window is the strip plus halo rows fetched via an overlapping
+  *Element* input BlockSpec (affine in-bounds index map — what this
+  Mosaic supports);
 - the reference's forward/backward atomicAdd accumulation (needed because
   a CUDA block cannot write neighbours' planes) becomes a *straddle
   carry*: each grid step computes the rows of the NEXT strip that straddle
@@ -16,30 +16,32 @@ TPU-native redesign of the reference's streaming CUDA kernel
   across the sequential TPU grid — exactly one writer per output row, no
   atomics;
 - the reference never writes the boundary frame (fixed Dirichlet cells);
-  here the frozen frame values are composited in-kernel from tiny slab
-  inputs, so no extra pass touches the big buffers;
+  the frozen frame is composited in-kernel from tiny slab inputs (plus,
+  in 3D, one cheap dynamic_update_slice fixup outside — see below);
 - thread coarsening (block/cyclic merge) is tile-shape selection; the
   reference's ``--prefetch`` double-buffering is automatic in the Pallas
   pipeline.
 
-State buffers are stored *padded* along axis 0 (``hr`` zero rows below the
-real rows, and enough above to keep every window in-bounds), which keeps
-all index maps affine, and **flattened to 2D**: a 3D grid (L, M, N) is
-held as (L, M·N) so z is the streamed axis and j/i shifts become lane
-shifts by ``dj·N + di``.  The kernel then only ever manipulates 2D refs
-(this Mosaic compiles 3D sub-block writes pathologically slowly).  In the
-flat layout the j-frame is lane-contiguous and composited in-kernel; the
-strided i-frame is restored outside via two dynamic_update_slices on a
-free (L', M·N) → (L'·M, N) reshape view — ~2H/N extra traffic.
+Layout ("tall"): a grid (…, N) is stored as (R, N) with R the product of
+all leading axes — 2D (M, N) keeps rows=M; 3D (L, M, N) becomes rows=L·M.
+A tap offset (dk, dj, di) is then a row shift ``dk·M + dj`` plus a lane
+shift ``di``:
 
-Rows are additionally **lane-padded** by ``pc`` junk lanes per side
-(a whole multiple of N in 3D, keeping the reshape trick) so that every
-tap's lane shift is a *static in-bounds slice* of the VMEM window rather
-than a roll — shifts that are multiples of N (the dj·N part) land
-128-aligned and are free views; jnp.roll with plane-sized amounts both
-compiled pathologically (>10 min) and materializes copies.  Padding lanes
-are never written and only feed frame outputs that the composite
-overwrites.
+- row shifts are static slices of the VMEM window (row halo
+  ``hrow = h·M + h`` in 3D, ``h`` in 2D);
+- lane shifts are tiny: either static slices into ``pc`` junk pad lanes
+  (pc=128, ~3% traffic at N=8192) or wrap-around rolls (free of padding,
+  right for small N) — selected by ``cfg.lane_mode`` / N;
+- rank-3 blocks are never formed (this Mosaic compiles rank-3 sub-block
+  writes pathologically slowly, and plane-sized roll amounts took >10min).
+
+Frames in the tall layout: the lane frame (i in 3D, i in 2D) is
+composited in-kernel from a per-strip face slab; the low/high *row*
+frame (j in 2D, z in 3D — ``h·M`` rows) from constant lo/hi slabs at
+statically-placed strips; the 3D j-frame (strided rows) is restored
+outside the kernel by two dynamic_update_slices on a free
+(Rp, N) → (Rp/M, M, N) reshape view (~2h/M extra traffic).  Row padding
+is a multiple of M so that view stays aligned to plane boundaries.
 """
 
 from __future__ import annotations
@@ -63,91 +65,104 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclass(frozen=True)
 class StreamGeometry:
-    """Padded flat-buffer geometry for the streaming kernel."""
+    """Padded tall-buffer geometry for the streaming kernel."""
 
-    dims: Tuple[int, ...]   # real dims, axis 0 = streaming
+    dims: Tuple[int, ...]   # real dims
     halo: int               # fused order H
-    hr: int                 # halo rounded up so strips stay 8-aligned
+    hrow: int               # max |row shift| = h·M + h (3D) or h (2D)
+    hk: int                 # window row halo: hrow rounded up to 4
+    pr: int                 # row padding below real rows (multiple of M)
     tm: int                 # rows per strip
     n_strips: int
-    rows_padded: int
+    rows_padded: int        # multiple of M (3D) for the j-fixup view
+    pc: int                 # junk lane padding per side (0 => lane rolls)
 
     @property
-    def plane(self) -> Tuple[int, ...]:
-        return self.dims[1:]
+    def lanes(self) -> int:
+        return self.dims[-1]
 
     @property
-    def width(self) -> int:
-        """Flattened *real* lane width: N (2D) or M·N (3D)."""
-        return int(np.prod(self.plane))
-
-    @property
-    def pc(self) -> int:
-        """Junk lane padding per side: covers the largest tap lane shift,
-        128-aligned; a multiple of N in 3D so the (rows, wb) buffer still
-        reshapes to (rows·M', N) for the i-frame fixup."""
-        if len(self.plane) == 1:
-            return _round_up(self.halo, 128)
-        return (self.halo + 1) * self.plane[-1]
-
-    @property
-    def wb(self) -> int:
-        """Stored lane width: pc + width + pc."""
-        return self.width + 2 * self.pc
+    def mid(self) -> int:
+        """M for 3D (rows per plane); 1 for 2D."""
+        return self.dims[1] if len(self.dims) == 3 else 1
 
     @property
     def rows(self) -> int:
-        return self.dims[0]
+        """Real row count: M (2D) or L·M (3D)."""
+        return int(np.prod(self.dims[:-1]))
+
+    @property
+    def wb(self) -> int:
+        return self.lanes + 2 * self.pc
 
     @property
     def window(self) -> int:
-        """VMEM window rows per grid step (strip + halo above/below) — the
-        analogue of the reference's shm ``Range`` (codegen.hpp:89)."""
-        return self.tm + 2 * self.hr
+        """VMEM window rows per grid step — the analogue of the
+        reference's shm ``Range`` (codegen.hpp:89)."""
+        return self.tm + 2 * self.hk
 
     @property
-    def face_width(self) -> int:
-        """Lane width of the in-plane frame composited in-kernel: h lanes
-        (2D) or h·N lanes (the 3D j-frame, lane-contiguous when flat)."""
-        return self.halo * (self.plane[-1] if len(self.plane) == 2 else 1)
+    def frame_rows(self) -> int:
+        """Rows in each low/high row-frame slab: h·M (3D) or h (2D)."""
+        return self.halo * self.mid if len(self.dims) == 3 else self.halo
 
 
 def make_geometry(an: Analysis, cfg: KernelConfig) -> StreamGeometry:
     dims = an.spec.dims
     h = an.halo
-    hr = _round_up(max(h, 1), 4)
-    tm = cfg.tm or default_tm(dims)
+    is3d = len(dims) == 3
+    m = dims[1] if is3d else 1
+    n = dims[-1]
+    rows = int(np.prod(dims[:-1]))
+    hrow = h * m + h if is3d else h
+    hk = _round_up(max(hrow, 1), 4)
+    tm = cfg.tm or default_tm(dims, hk)
     if tm % 8 != 0:
         raise ValueError(f"tm must be a multiple of 8, got {tm}")
-    if tm <= hr:
-        raise ValueError(f"tm={tm} must exceed aligned halo hr={hr}")
-    n = -(-(hr + dims[0]) // tm)
-    rows_padded = n * tm + 2 * hr
+    if tm <= hrow:
+        raise ValueError(f"tm={tm} must exceed row halo {hrow}")
+    # row padding below real rows: >= hrow, multiple of M for the view
+    pr = _round_up(hrow, m if is3d else 4)
+    if is3d and pr < hrow:
+        pr += m
+    n_strips = -(-(pr + rows) // tm)
+    rows_padded = n_strips * tm + 2 * hk
+    if is3d:
+        rows_padded = _round_up(rows_padded, m)
+    # lane padding: static slices when the pad is cheap, else rolls
+    if cfg.lane_mode == "slice" or (cfg.lane_mode is None and n >= 2048):
+        pc = _round_up(max(h, 1), 128)
+    else:
+        pc = 0
     return StreamGeometry(
-        dims=dims, halo=h, hr=hr, tm=tm, n_strips=n, rows_padded=rows_padded
+        dims=dims, halo=h, hrow=hrow, hk=hk, pr=pr, tm=tm,
+        n_strips=n_strips, rows_padded=rows_padded, pc=pc,
     )
 
 
-def default_tm(dims: Tuple[int, ...]) -> int:
-    """Strip height keeping the VMEM working set around 24 MB."""
-    plane_elems = int(np.prod(dims[1:])) if len(dims) > 1 else 1
-    budget = 24 * 1024 * 1024 // 4  # fp32 elements for window + out
-    tm = budget // (2 * max(plane_elems, 1))
-    tm = max(8, min(512, (tm // 8) * 8))
-    return tm
+def default_tm(dims: Tuple[int, ...], hk: int) -> int:
+    """Strip height: amortize the 2·hk window refetch while keeping the
+    double-buffered working set under ~80 MB of the 128 MB VMEM."""
+    n = dims[-1]
+    budget_rows = 80 * 1024 * 1024 // 4 // (4 * max(n, 1))  # 2x window+out
+    tm = max(16 * hk, 256)
+    tm = min(tm, budget_rows - 2 * hk)
+    rows = int(np.prod(dims[:-1]))
+    tm = min(tm, _round_up(rows, 8))
+    return max(8, (tm // 8) * 8)
 
 
 def pad_state(x: np.ndarray, g: StreamGeometry) -> np.ndarray:
-    """Embed a real-shaped array into the padded flat streaming layout."""
+    """Embed a real-shaped array into the padded tall layout."""
     out = np.zeros((g.rows_padded, g.wb), dtype=x.dtype)
-    out[g.hr : g.hr + g.rows, g.pc : g.pc + g.width] = np.asarray(x).reshape(
-        g.rows, g.width
+    out[g.pr : g.pr + g.rows, g.pc : g.pc + g.lanes] = np.asarray(x).reshape(
+        g.rows, g.lanes
     )
     return out
 
 
 def unpad_state(x, g: StreamGeometry):
-    return x[g.hr : g.hr + g.rows, g.pc : g.pc + g.width].reshape(g.dims)
+    return x[g.pr : g.pr + g.rows, g.pc : g.pc + g.lanes].reshape(g.dims)
 
 
 def make_slabs(x: np.ndarray, g: StreamGeometry):
@@ -157,27 +172,25 @@ def make_slabs(x: np.ndarray, g: StreamGeometry):
     never write cells within ``halo`` of any face), so the slabs are
     computed once from the initial state:
 
-    - ``lo`` / ``hi``: the first/last H real rows, flattened plane;
-    - ``face``: the in-plane lane-contiguous frame (columns in 2D, the
-      j-frame in 3D), low face then high face, padded-row indexed;
-    - 3D only, ``iframe``: the per-(row, j) i-frame as a (rows·M', 2H)
-      table for the post-kernel fixup (M' includes the lane-pad
-      pseudo-rows so the reshape view lines up).
+    - ``lo`` / ``hi``: the first/last frame_rows real rows (the j-frame in
+      2D, the z-frame in 3D), lane-padded like the buffer;
+    - ``face``: the lane frame per padded row, low face then high face;
+    - 3D only, ``jframe``: (rows_padded/M, 2h, N') slab for the strided
+      j-frame fixup on the plane view.
     """
-    h = g.halo
-    xf = np.asarray(x).reshape(g.rows, g.width)
-    xp = pad_state(xf, g)
-    lo = np.ascontiguousarray(xf[:h])
-    hi = np.ascontiguousarray(xf[-h:])
-    fw = g.face_width
-    real = xp[:, g.pc : g.pc + g.width]
-    face = np.concatenate([real[:, :fw], real[:, g.width - fw :]], axis=1)
-    if len(g.plane) == 1:
+    h, fr = g.halo, g.frame_rows
+    xp = pad_state(x, g)
+    r0 = g.pr
+    lo = np.ascontiguousarray(xp[r0 : r0 + fr])
+    hi = np.ascontiguousarray(xp[r0 + g.rows - fr : r0 + g.rows])
+    real = xp[:, g.pc : g.pc + g.lanes]
+    face = np.concatenate([real[:, :h], real[:, g.lanes - h :]], axis=1)
+    if len(g.dims) == 2:
         return (lo, hi, face)
-    n = g.plane[-1]
-    v = xp.reshape(-1, n)
-    iframe = np.concatenate([v[:, :h], v[:, n - h :]], axis=1)
-    return (lo, hi, face, iframe)
+    m = g.mid
+    v = xp.reshape(g.rows_padded // m, m, g.wb)
+    jframe = np.concatenate([v[:, :h, :], v[:, m - h : m, :]], axis=1)
+    return (lo, hi, face, jframe)
 
 
 def build_stream_kernel(an: Analysis, cfg: KernelConfig):
@@ -188,69 +201,74 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
     buffer (pair it with jit donation for in-place ping-pong).
     """
     g = make_geometry(an, cfg)
-    h, hr, tm = g.halo, g.hr, g.tm
-    W, pc, wb = g.width, g.pc, g.wb
-    fw = g.face_width
+    h, hk, hc, tm = g.halo, g.hk, g.hrow, g.tm
+    N, pc, wb = g.lanes, g.pc, g.wb
+    fr = g.frame_rows
+    mid = g.mid
     dtype = jnp.dtype(cfg.dtype)
-    lane_n = g.plane[-1]
 
-    # Each tap is a (row offset, flattened lane shift, coeff) triple; lane
-    # shifts become static slices of the lane-padded window.  Sorted order
-    # keeps fp32 summation identical to the native emitter's.
+    # Taps as (row shift, lane shift, coeff), sorted — order keeps fp32
+    # summation identical to the native emitter's.
     taps = []
     for off, coe in sorted(an.fused.items()):
-        s = off[1] if len(off) == 2 else off[1] * lane_n + off[2]
-        taps.append((off[0], s, coe))
-    taps.sort(key=lambda t: (t[1], t[0]))
+        d = off[0] * mid + off[1] if len(off) == 3 else off[0]
+        taps.append((d, off[-1], coe))
+    taps.sort()
 
-    # Static row-frame placement: which strip holds the low/high H real
-    # rows, and at which in-strip offset (padded row = real row + hr).
-    lo_strip, lo_off = divmod(hr, tm)
-    hi_start = hr + g.rows - h
-    hi_strip, hi_off = divmod(hi_start, tm)
-    hi_splits = []  # (strip, local_start, slab_start, length)
-    if hi_off + h <= tm:
-        hi_splits.append((hi_strip, hi_off, 0, h))
-    else:
-        first = tm - hi_off
-        hi_splits.append((hi_strip, hi_off, 0, first))
-        hi_splits.append((hi_strip + 1, 0, first, h - first))
+    # Static row-frame placement: strips and in-strip offsets covering the
+    # low/high frame_rows real rows (padded rows [pr, pr+fr) and
+    # [pr + rows - fr, pr + rows)).
+    def segments(start: int, length: int):
+        """Split padded rows [start, start+length) into per-strip
+        (strip, local_offset, slab_offset, seg_len) pieces."""
+        out = []
+        done = 0
+        while done < length:
+            p = start + done
+            strip, loc = divmod(p, tm)
+            seg = min(tm - loc, length - done)
+            out.append((strip, loc, done, seg))
+            done += seg
+        return out
+
+    lo_segs = segments(g.pr, fr)
+    hi_segs = segments(g.pr + g.rows - fr, fr)
 
     def kernel(a_ref, lo_ref, hi_ref, face_ref, o_ref, carry):
         i = pl.program_id(0)
         w = a_ref[...].astype(jnp.float32)
 
-        # out rows [h, tm + h) of this strip: every tap is a static
-        # (row, lane) slice of the window — lane starts pc+s are aligned
-        # free views for the dj·N shifts, small relayouts for di
+        # out rows [hc, tm + hc) of this strip: static (row, lane) slices
+        # (or rolls) of the window
+        rolled = {0: w}
         ext = None
         for d, s, coe in taps:
-            term = (
-                jnp.asarray(coe, jnp.float32)
-                * w[h + d : h + d + tm, pc + s : pc + s + W]
-            )
+            if pc:
+                term = w[hc + d : hc + d + tm, pc + s : pc + s + N]
+            else:
+                if s not in rolled:
+                    rolled[s] = jnp.roll(w, -s, axis=1)
+                term = rolled[s][hc + d : hc + d + tm, :]
+            term = jnp.asarray(coe, jnp.float32) * term
             ext = term if ext is None else ext + term
         ext = ext.astype(dtype)
 
-        # straddle carry: rows [0, h) come from the previous strip's work
-        o_ref[0:h, pc : pc + W] = carry[...]
-        o_ref[h:tm, pc : pc + W] = ext[0 : tm - h]
-        carry[...] = ext[tm - h : tm]
+        # straddle carry: rows [0, hc) come from the previous strip's work
+        o_ref[0:hc, pc : pc + N] = carry[...]
+        o_ref[hc:tm, pc : pc + N] = ext[0 : tm - hc]
+        carry[...] = ext[tm - hc : tm]
 
-        # frozen in-plane frame (columns / 3D j-frame), every strip
-        o_ref[:, pc : pc + fw] = face_ref[:, 0:fw]
-        o_ref[:, pc + W - fw : pc + W] = face_ref[:, fw : 2 * fw]
+        # frozen lane frame (i-frame), every strip
+        o_ref[:, pc : pc + h] = face_ref[:, 0:h]
+        o_ref[:, pc + N - h : pc + N] = face_ref[:, h : 2 * h]
 
-        # streaming-axis frame rows (static strip/offset, per-strip gate)
-        @pl.when(i == lo_strip)
-        def _():
-            o_ref[lo_off : lo_off + h, pc : pc + W] = lo_ref[...]
+        # low/high row frame (statically placed strips)
+        for segs, slab in ((lo_segs, lo_ref), (hi_segs, hi_ref)):
+            for strip, loc, src, ln in segs:
 
-        for strip, loc, src, ln in hi_splits:
-
-            @pl.when(i == strip)
-            def _(strip=strip, loc=loc, src=src, ln=ln):
-                o_ref[loc : loc + ln, pc : pc + W] = hi_ref[src : src + ln]
+                @pl.when(i == strip)
+                def _(loc=loc, src=src, ln=ln, slab=slab):
+                    o_ref[loc : loc + ln] = slab[src : src + ln]
 
     def win_map(i):
         return (i * tm, 0)
@@ -269,9 +287,9 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
         # lo/hi row slabs: grid-invariant constant blocks.  (A shapeless
         # full-array spec hangs this Mosaic build; an explicit block with
         # a constant index map compiles fine.)
-        pl.BlockSpec((h, W), const_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, W), const_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tm, 2 * fw), tile_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((fr, wb), const_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((fr, wb), const_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, 2 * h), tile_map, memory_space=pltpu.VMEM),
     ]
     out_spec = pl.BlockSpec((tm, wb), tile_map, memory_space=pltpu.VMEM)
 
@@ -281,7 +299,7 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((g.rows_padded, wb), dtype),
-        scratch_shapes=[pltpu.VMEM((h, W), dtype)],
+        scratch_shapes=[pltpu.VMEM((hc, N), dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
@@ -293,24 +311,25 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
         interpret=cfg.interpret,
     )
 
-    if len(g.plane) == 1:
+    if len(g.dims) == 2:
 
         def f(src_padded, dst_slabs):
             lo, hi, face = dst_slabs
             return call(src_padded, lo, hi, face)
 
     else:
-        n = g.plane[-1]
-        rows_total = g.rows_padded * g.wb // n
+        planes = g.rows_padded // mid
 
         def f(src_padded, dst_slabs):
-            lo, hi, face, iframe = dst_slabs
+            lo, hi, face, jframe = dst_slabs
             out = call(src_padded, lo, hi, face)
-            # strided i-frame fixup on a contiguity-preserving reshape
-            # view: touches 2h/n of the buffer, in place under donation
-            v = out.reshape(rows_total, n)
-            v = jax.lax.dynamic_update_slice(v, iframe[:, :h], (0, 0))
-            v = jax.lax.dynamic_update_slice(v, iframe[:, h:], (0, n - h))
-            return v.reshape(g.rows_padded, g.wb)
+            # strided j-frame fixup on a free plane-aligned reshape view:
+            # touches 2h/M of the buffer, in place under donation
+            v = out.reshape(planes, mid, wb)
+            v = jax.lax.dynamic_update_slice(v, jframe[:, :h, :], (0, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                v, jframe[:, h:, :], (0, mid - h, 0)
+            )
+            return v.reshape(g.rows_padded, wb)
 
     return f, g

@@ -48,12 +48,12 @@ def vmem_estimate(spec: StencilSpec, cfg: KernelConfig) -> Optional[Candidate]:
         g = stream_mod.make_geometry(an, cfg)
     except ValueError:
         return None
-    plane = int(np.prod(g.plane))
     item = np.dtype(cfg.dtype).itemsize
     bytes_ = item * (
-        2 * g.window * plane          # double-buffered input window
-        + 2 * g.tm * plane            # double-buffered out tile
-        + 2 * an.halo * plane * (1 + len(g.plane))  # slabs + carry
+        2 * g.window * g.wb           # double-buffered input window
+        + 2 * g.tm * g.wb             # double-buffered out tile
+        + 3 * g.frame_rows * g.wb     # lo/hi slabs + headroom
+        + g.hrow * g.lanes            # straddle carry
     )
     if bytes_ > VMEM_BUDGET_BYTES:
         return None
@@ -63,14 +63,22 @@ def vmem_estimate(spec: StencilSpec, cfg: KernelConfig) -> Optional[Candidate]:
 def default_space(spec: StencilSpec) -> Iterator[Candidate]:
     """Enumerate valid candidates for one stencil (streaming variants with
     step/dist/tile sweeps, plus the XLA variant per step as a baseline)."""
+    from drstencil_tpu.ir.passes import fuse, order_of
+
     is3d = spec.ndim == 3
-    tms = (64, 128, 256, 512) if not is3d else (8, 16, 32, 64, 128)
     steps = (1, 2, 3)
     seen = set()
     for step in steps:
         # reference dist range: [(step-1)*order, step*order], 0 = auto
-        from drstencil_tpu.ir.passes import fuse, order_of
         base_order = order_of(fuse(spec.taps, 1))
+        if is3d:
+            # tall layout: tm must exceed the fused row halo h*M + h
+            hrow = step * base_order * spec.dims[1] + step * base_order
+            tms = tuple(
+                -(-k * hrow // 8) * 8 for k in (2, 4, 8, 16)
+            )
+        else:
+            tms = (64, 128, 256, 512, 1024)
         dists = sorted(
             {0}
             | set(range(max(1, (step - 1) * base_order), step * base_order + 1))

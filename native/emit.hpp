@@ -8,15 +8,19 @@
 // unroll them into CUDA text), a host main() with the warmup/timed
 // ping-pong protocol, and an optional fp64 NumPy gold check (--check).
 //
-// The kernel structure emitted here is the streaming design of
-// drstencil_tpu/ops/stream.py; tests/test_native.py differential-tests the
+// The kernel emitted here is the tall-layout streaming design of
+// drstencil_tpu/ops/stream.py (see its module docstring for the layout and
+// frame-handling derivation); tests/test_native.py differential-tests the
 // emitted program's output against the library runtime bit-for-bit.
 
 #pragma once
 
 #include <iomanip>
+#include <map>
 #include <sstream>
 #include <string>
+#include <tuple>
+#include <vector>
 
 #include "drstencil.hpp"
 
@@ -27,22 +31,14 @@ struct EmitConfig {
     bool check = false;     // emit gold-check path (--check)
     bool gold_only = false; // emit a golden-model-only program (--gold)
     std::string dtype = "float32";
+    std::string lane_mode;  // "", "slice", "roll"
     // Reference knobs with no TPU meaning, recorded for provenance:
     int by = 16, sn = 16, stream_unroll = 4;
     int bmx = 1, bmy = 1, cmx = 1, cmy = 1;
     bool streaming = false, prefetch = false;
 };
 
-inline int round_up(int x, int m) { return (x + m - 1) / m * m; }
-
-inline int auto_tm(const Spec& spec) {
-    long plane = 1;
-    for (size_t i = 1; i < spec.dims.size(); ++i) plane *= spec.dims[i];
-    long budget = 24L * 1024 * 1024 / 4;
-    long tm = budget / (2 * std::max(plane, 1L));
-    tm = std::max(8L, std::min(512L, tm / 8 * 8));
-    return static_cast<int>(tm);
-}
+inline long round_up(long x, long m) { return (x + m - 1) / m * m; }
 
 inline std::string fmt_coe(double c) {
     std::ostringstream o;
@@ -63,36 +59,77 @@ inline std::string dims_tuple(const std::vector<long>& d) {
     return o.str();
 }
 
+// Tall-layout geometry, mirroring stream.make_geometry.
+struct EmitGeom {
+    long rows, n, mid, hrow, hk, pr, tm, n_strips, rows_padded, pc, fr;
+};
+
+inline EmitGeom make_geom(const Analysis& an, const EmitConfig& cfg) {
+    const Spec& spec = an.spec;
+    const bool is3d = spec.ndim() == 3;
+    EmitGeom g;
+    g.n = spec.dims.back();
+    g.mid = is3d ? spec.dims[1] : 1;
+    g.rows = 1;
+    for (size_t i = 0; i + 1 < spec.dims.size(); ++i) g.rows *= spec.dims[i];
+    const long h = an.halo();
+    g.hrow = is3d ? h * g.mid + h : h;
+    g.hk = round_up(std::max(g.hrow, 1L), 4);
+    if (cfg.tm > 0) g.tm = cfg.tm;
+    else {
+        long budget_rows = 80L * 1024 * 1024 / 4 / (4 * std::max(g.n, 1L));
+        g.tm = std::max(16 * g.hk, 256L);
+        g.tm = std::min(g.tm, budget_rows - 2 * g.hk);
+        g.tm = std::min(g.tm, round_up(g.rows, 8));
+        g.tm = std::max(8L, g.tm / 8 * 8);
+    }
+    if (g.tm % 8 != 0)
+        throw StcError("tile rows (--bx) must be a multiple of 8");
+    if (g.tm <= g.hrow)
+        throw StcError("Invalid configuration: tile rows " +
+                       std::to_string(g.tm) + " must exceed row halo " +
+                       std::to_string(g.hrow));
+    g.pr = round_up(g.hrow, is3d ? g.mid : 4);
+    g.n_strips = (g.pr + g.rows + g.tm - 1) / g.tm;
+    g.rows_padded = g.n_strips * g.tm + 2 * g.hk;
+    if (is3d) g.rows_padded = round_up(g.rows_padded, g.mid);
+    const bool slice_mode =
+        cfg.lane_mode == "slice" || (cfg.lane_mode.empty() && g.n >= 2048);
+    g.pc = slice_mode ? round_up(std::max(h, 1L), 128) : 0;
+    g.fr = is3d ? h * g.mid : h;
+    return g;
+}
+
 // Emit the full program text.
 inline std::string emit_program(const Analysis& an, const EmitConfig& cfg,
                                 const std::string& cli_line) {
     const Spec& spec = an.spec;
-    const int nd = spec.ndim();
-    const int nplane = nd - 1;
-    const int h = an.halo();
-    const int hr = round_up(std::max(h, 1), 4);
-    const int tm = cfg.tm > 0 ? cfg.tm : auto_tm(spec);
-    if (tm % 8 != 0) throw StcError("tile rows (--bx) must be a multiple of 8");
-    if (tm <= hr)
-        throw StcError("Invalid configuration: tile rows " + std::to_string(tm) +
-                       " must exceed aligned halo " + std::to_string(hr));
-    const long rows = spec.dims[0];
-    const long nstrips = (hr + rows + tm - 1) / tm;
-    const long rows_padded = nstrips * tm + 2 * hr;
+    const bool is3d = spec.ndim() == 3;
+    const long h = an.halo();
+    EmitGeom g = make_geom(an, cfg);
 
-    // taps as (lane shift, row offset, coeff), sorted — lane shifts
-    // become static slices of the lane-padded window
-    std::map<std::pair<long, int>, double> taps;
-    const long lane_n0 = spec.dims.back();
+    // taps as (row shift, lane shift, coeff), sorted like the library
+    std::map<std::pair<long, long>, double> taps;
     for (const auto& [off, coe] : an.fused) {
-        long s = off.size() == 2 ? off[1] : off[1] * lane_n0 + off[2];
-        taps[{s, off[0]}] = coe;
+        long d = off.size() == 3 ? long(off[0]) * g.mid + off[1] : off[0];
+        taps[{d, off.back()}] = coe;
     }
 
-    // streaming-axis frame placement (static)
-    const int lo_strip = hr / tm, lo_off = hr % tm;
-    const long hi_start = hr + rows - h;
-    const long hi_strip = hi_start / tm, hi_off = hi_start % tm;
+    // static row-frame segments (strip, local_offset, slab_offset, len)
+    auto segments = [&](long start, long length) {
+        std::vector<std::tuple<long, long, long, long>> out;
+        long done = 0;
+        while (done < length) {
+            long p = start + done;
+            long strip = p / g.tm, loc = p % g.tm;
+            long seg = std::min(g.tm - loc, length - done);
+            out.push_back({strip, loc, done, seg});
+            done += seg;
+        }
+        return out;
+    };
+    auto lo_segs = segments(g.pr, g.fr);
+    auto hi_segs = segments(g.pr + g.rows - g.fr, g.fr);
 
     std::ostringstream o;
     o << "#!/usr/bin/env python3\n";
@@ -113,21 +150,18 @@ inline std::string emit_program(const Analysis& an, const EmitConfig& cfg,
     o << "\nDIMS = " << dims_tuple(spec.dims) << "\n";
     o << "ITERATIONS = " << spec.iterations << "\n";
     o << "STEP = " << an.step << "\n";
-    o << "H = " << h << "\nHR = " << hr << "\nTM = " << tm << "\n";
-    o << "NSTRIPS = " << nstrips << "\nROWS_PADDED = " << rows_padded << "\n";
+    o << "H = " << h << "\n";
+    o << "R = " << g.rows << "     # tall rows (L*M for 3D)\n";
+    o << "N = " << g.n << "     # lanes\n";
+    o << "MID = " << g.mid << "\n";
+    o << "HROW = " << g.hrow << "  # row halo (h*M + h for 3D)\n";
+    o << "HK = " << g.hk << "\nPR = " << g.pr << "\nTM = " << g.tm << "\n";
+    o << "NSTRIPS = " << g.n_strips << "\nROWS_PADDED = " << g.rows_padded
+      << "\n";
+    o << "PC = " << g.pc << "    # junk lane padding (0 => lane rolls)\n";
+    o << "WB = " << (g.n + 2 * g.pc) << "\nFR = " << g.fr << "\n";
+    o << "FLAT3D = " << (is3d ? "True" : "False") << "\n";
     o << "DTYPE = \"" << cfg.dtype << "\"\n";
-    // flattened layout constants: 3D grids are held as (L, M*N)
-    long lane_n = spec.dims.back();
-    long width = 1;
-    for (size_t i = 1; i < spec.dims.size(); ++i) width *= spec.dims[i];
-    long fwidth = nplane == 2 ? h * lane_n : h;
-    long pc = nplane == 2 ? (h + 1) * lane_n : round_up(std::max(h, 1), 128);
-    o << "W = " << width << "  # flattened lane width (M*N for 3D)\n";
-    o << "PC = " << pc << "  # junk lane padding per side\n";
-    o << "WB = " << (width + 2 * pc) << "  # stored lane width\n";
-    o << "FW = " << fwidth << "  # in-kernel face width (h*N for 3D j-frame)\n";
-    o << "LANE_N = " << lane_n << "\n";
-    o << "FLAT3D = " << (nplane == 2 ? "True" : "False") << "\n";
     o << "FUSED_TAPS = [  # (offset, coefficient) — fused operator\n";
     for (const auto& [off, coe] : an.fused) {
         o << "    ((";
@@ -190,40 +224,59 @@ if __name__ == "__main__":
     o << "\n\ndef kernel(a_ref, lo_ref, hi_ref, face_ref, o_ref, carry):\n";
     o << "    i = pl.program_id(0)\n";
     o << "    w = a_ref[...].astype(jnp.float32)\n";
-    // unrolled accumulation: out rows [H, TM + H), static (row, lane) slices
-    o << "    ext = (\n";
-    bool first = true;
-    for (const auto& [key, coe] : taps) {
-        const auto& [s, d] = key;
-        o << "        " << (first ? "  " : "+ ") << "(" << fmt_coe(coe)
-          << ") * w[" << (h + d) << ":" << (h + d + tm) << ", " << (pc + s)
-          << ":" << (pc + s + width) << "]\n";
-        first = false;
-    }
-    o << "    ).astype(jnp." << cfg.dtype << ")\n";
-    o << "    o_ref[0:H, PC : PC + W] = carry[...]\n";
-    o << "    o_ref[H:TM, PC : PC + W] = ext[0 : TM - H]\n";
-    o << "    carry[...] = ext[TM - H : TM]\n";
-    // in-plane frozen-frame composite (columns / flattened 3D j-frame)
-    o << "    o_ref[:, PC : PC + FW] = face_ref[:, 0:FW]\n";
-    o << "    o_ref[:, PC + W - FW : PC + W] = face_ref[:, FW : 2 * FW]\n";
-    // streaming-axis frame rows
-    o << "\n    @pl.when(i == " << lo_strip << ")\n    def _():\n"
-      << "        o_ref[" << lo_off << ":" << (lo_off + h)
-      << ", PC : PC + W] = lo_ref[...]\n";
-    if (hi_off + h <= tm) {
-        o << "\n    @pl.when(i == " << hi_strip << ")\n    def _():\n"
-          << "        o_ref[" << hi_off << ":" << (hi_off + h)
-          << ", PC : PC + W] = hi_ref[...]\n";
+    if (g.pc == 0) {
+        // roll mode: one rolled window per distinct lane shift
+        std::map<long, std::string> rolled;
+        int gi = 0;
+        for (const auto& [key, coe] : taps) {
+            (void)coe;
+            long s = key.second;
+            if (s == 0 || rolled.count(s)) continue;
+            std::string nm = "w" + std::to_string(gi++);
+            rolled[s] = nm;
+            o << "    " << nm << " = jnp.roll(w, " << -s << ", axis=1)\n";
+        }
+        rolled[0] = "w";
+        o << "    ext = (\n";
+        bool first = true;
+        for (const auto& [key, coe] : taps) {
+            const auto& [d, s] = key;
+            o << "        " << (first ? "  " : "+ ") << "(" << fmt_coe(coe)
+              << ") * " << rolled[s] << "[" << (g.hrow + d) << ":"
+              << (g.hrow + d + g.tm) << ", :]\n";
+            first = false;
+        }
+        o << "    ).astype(jnp." << cfg.dtype << ")\n";
     } else {
-        long f = tm - hi_off;
-        o << "\n    @pl.when(i == " << hi_strip << ")\n    def _():\n"
-          << "        o_ref[" << hi_off << ":" << tm
-          << ", PC : PC + W] = hi_ref[0:" << f << "]\n";
-        o << "\n    @pl.when(i == " << (hi_strip + 1) << ")\n    def _():\n"
-          << "        o_ref[0:" << (h - f) << ", PC : PC + W] = hi_ref[" << f
-          << ":" << h << "]\n";
+        o << "    ext = (\n";
+        bool first = true;
+        for (const auto& [key, coe] : taps) {
+            const auto& [d, s] = key;
+            o << "        " << (first ? "  " : "+ ") << "(" << fmt_coe(coe)
+              << ") * w[" << (g.hrow + d) << ":" << (g.hrow + d + g.tm)
+              << ", " << (g.pc + s) << ":" << (g.pc + s + g.n) << "]\n";
+            first = false;
+        }
+        o << "    ).astype(jnp." << cfg.dtype << ")\n";
     }
+    o << "    o_ref[0:HROW, PC : PC + N] = carry[...]\n";
+    o << "    o_ref[HROW:TM, PC : PC + N] = ext[0 : TM - HROW]\n";
+    o << "    carry[...] = ext[TM - HROW : TM]\n";
+    // frozen lane frame
+    o << "    o_ref[:, PC : PC + H] = face_ref[:, 0:H]\n";
+    o << "    o_ref[:, PC + N - H : PC + N] = face_ref[:, H : 2 * H]\n";
+    // low/high row frame (statically placed strips)
+    auto emit_segs = [&](const char* slab,
+                         const std::vector<std::tuple<long, long, long, long>>&
+                             segs) {
+        for (const auto& [strip, loc, src, ln] : segs) {
+            o << "\n    @pl.when(i == " << strip << ")\n    def _():\n"
+              << "        o_ref[" << loc << ":" << (loc + ln) << "] = " << slab
+              << "[" << src << ":" << (src + ln) << "]\n";
+        }
+    };
+    emit_segs("lo_ref", lo_segs);
+    emit_segs("hi_ref", hi_segs);
 
     // ---- pallas_call wiring + host protocol ----------------------------
     o << R"PY(
@@ -233,11 +286,11 @@ def build_call(interpret):
     tile_map = lambda i: (i, 0)
     const_map = lambda i: (0, 0)
     in_specs = [
-        pl.BlockSpec((pl.Element(TM + 2 * HR), pl.Element(WB)), win_map,
+        pl.BlockSpec((pl.Element(TM + 2 * HK), pl.Element(WB)), win_map,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((H, W), const_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((H, W), const_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((TM, 2 * FW), tile_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((FR, WB), const_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((FR, WB), const_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TM, 2 * H), tile_map, memory_space=pltpu.VMEM),
     ]
     dt = jnp.dtype(DTYPE)
     return pl.pallas_call(
@@ -246,7 +299,7 @@ def build_call(interpret):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TM, WB), tile_map, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ROWS_PADDED, WB), dt),
-        scratch_shapes=[pltpu.VMEM((H, W), dt)],
+        scratch_shapes=[pltpu.VMEM((HROW, N), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
@@ -255,19 +308,19 @@ def build_call(interpret):
 
 def pad_state(x):
     out = np.zeros((ROWS_PADDED, WB), dtype=x.dtype)
-    out[HR : HR + DIMS[0], PC : PC + W] = x.reshape(DIMS[0], W)
+    out[PR : PR + R, PC : PC + N] = x.reshape(R, N)
     return out
 
 
 def make_slabs(x):
-    xf = x.reshape(DIMS[0], W)
-    xp = pad_state(xf)
-    real = xp[:, PC : PC + W]
-    slabs = [np.ascontiguousarray(xf[:H]), np.ascontiguousarray(xf[-H:]),
-             np.concatenate([real[:, :FW], real[:, W - FW:]], axis=1)]
+    xp = pad_state(x)
+    real = xp[:, PC : PC + N]
+    slabs = [np.ascontiguousarray(xp[PR : PR + FR]),
+             np.ascontiguousarray(xp[PR + R - FR : PR + R]),
+             np.concatenate([real[:, :H], real[:, N - H:]], axis=1)]
     if FLAT3D:
-        v = xp.reshape(-1, LANE_N)
-        slabs.append(np.concatenate([v[:, :H], v[:, LANE_N - H:]], axis=1))
+        v = xp.reshape(ROWS_PADDED // MID, MID, WB)
+        slabs.append(np.concatenate([v[:, :H, :], v[:, MID - H:, :]], axis=1))
     return tuple(slabs)
 
 
@@ -291,11 +344,11 @@ def main():
 
     def apply_fn(src, dst_slabs):
         if FLAT3D:
-            lo, hi, face, iframe = dst_slabs
+            lo, hi, face, jframe = dst_slabs
             out = call(src, lo, hi, face)
-            v = out.reshape(ROWS_PADDED * WB // LANE_N, LANE_N)
-            v = jax.lax.dynamic_update_slice(v, iframe[:, :H], (0, 0))
-            v = jax.lax.dynamic_update_slice(v, iframe[:, H:], (0, LANE_N - H))
+            v = out.reshape(ROWS_PADDED // MID, MID, WB)
+            v = jax.lax.dynamic_update_slice(v, jframe[:, :H, :], (0, 0, 0))
+            v = jax.lax.dynamic_update_slice(v, jframe[:, H:, :], (0, MID - H, 0))
             return v.reshape(ROWS_PADDED, WB)
         lo, hi, face = dst_slabs
         return call(src, lo, hi, face)
@@ -325,7 +378,7 @@ def main():
         for _ in range(args.warmup + args.pairs):
             gb = golden_apply(ga, gb)
             ga = golden_apply(gb, ga)
-        got = np.asarray(a)[HR : HR + DIMS[0], PC : PC + W].reshape(DIMS)
+        got = np.asarray(a)[PR : PR + R, PC : PC + N].reshape(DIMS)
         itr = tuple(slice(H, d - H) for d in DIMS)
         diff = np.abs(got[itr].astype(np.float64) - ga[itr])
         rms = float(np.sqrt(np.mean(diff ** 2)))

@@ -43,7 +43,9 @@ def test_xla_variant_matches_golden(name, step):
 @pytest.mark.parametrize("name", ALL_STENCILS)
 @pytest.mark.parametrize("step", [1, 2])
 def test_stream_variant_matches_golden(name, step):
-    prog = make_program(name, "stream", step, tm=16)
+    # tall layout: tm must exceed the row halo h*M + h for 3D
+    tm = 16 if name.startswith("2d") else 80
+    prog = make_program(name, "stream", step, tm=tm)
     max_err, rms = prog.check(seed=0)
     assert max_err < MAX_TOL, f"max_err={max_err}"
     assert rms < RMS_TOL
@@ -83,11 +85,22 @@ def test_stream_tile_sweep_2d(tm):
 
 
 def test_stream_3d_odd_rows():
-    """Streaming-axis size not divisible by tm (padded grid path)."""
+    """Streaming rows not divisible by tm (padded grid path)."""
     spec = small_spec("3d7pt_star", dims=(24, 16, 128))
-    prog = StencilProgram(spec, KernelConfig(variant="stream", tm=16, interpret=True))
+    prog = StencilProgram(spec, KernelConfig(variant="stream", tm=24, interpret=True))
     max_err, _ = prog.check(seed=0, pairs=1)
     assert max_err < MAX_TOL
+
+
+def test_stream_lane_modes():
+    spec = small_spec("2d9pt_star", dims=(64, 256))
+    for mode in ("roll", "slice"):
+        prog = StencilProgram(
+            spec,
+            KernelConfig(variant="stream", tm=16, lane_mode=mode, interpret=True),
+        )
+        max_err, _ = prog.check(seed=1, pairs=1)
+        assert max_err < MAX_TOL, f"{mode}: {max_err}"
 
 
 def test_num_pairs_protocol():

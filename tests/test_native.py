@@ -103,18 +103,18 @@ SEVEN_PT = ("0 0 0 0.3\n1 0 0 0.2\n-1 0 0 0.2\n0 1 0 0.2\n"
 
 
 @pytest.mark.parametrize(
-    "dims,body,step",
-    [((64, 256), FIVE_PT, 1), ((64, 256), FIVE_PT, 2),
-     ((24, 16, 128), SEVEN_PT, 1)],
+    "dims,body,step,bx",
+    [((64, 256), FIVE_PT, 1, 16), ((64, 256), FIVE_PT, 2, 16),
+     ((24, 16, 128), SEVEN_PT, 1, 24)],  # 3D: bx must exceed h*M+h
 )
-def test_emitted_program_check_passes(tmp_path, dims, body, step):
+def test_emitted_program_check_passes(tmp_path, dims, body, step, bx):
     """Generate a program with the native emitter, execute it in interpret
     mode with --check, and assert the golden diff is at fp32 tolerance —
     the promoted version of the reference's eyeballed RMS print."""
     stc = _write_small_stc(tmp_path, "tiny", dims, body)
     out_py = str(tmp_path / "gen.py")
     subprocess.run(
-        [CLI, "--step", str(step), "--bx", "16", "--check", "-o", out_py, stc],
+        [CLI, "--step", str(step), "--bx", str(bx), "--check", "-o", out_py, stc],
         check=True, capture_output=True,
     )
     env = dict(os.environ)
@@ -184,6 +184,6 @@ def test_emitted_matches_library_runtime(tmp_path):
     b = apply_fn(jax.numpy.asarray(a), tuple(map(jax.numpy.asarray, sb)))
     a = apply_fn(b, tuple(map(jax.numpy.asarray, sa)))
     gen_out = np.asarray(a)[
-        g["HR"] : g["HR"] + 64, g["PC"] : g["PC"] + g["W"]
+        g["PR"] : g["PR"] + 64, g["PC"] : g["PC"] + g["N"]
     ]
     np.testing.assert_array_equal(gen_out, lib_out)

@@ -34,9 +34,12 @@ def test_space_cross_stencil_excludes_step1_stream():
 def test_vmem_filter():
     spec = small_spec("3d7pt_star", dims=(512, 512, 512))
     # an enormous tile must be rejected by the VMEM model
-    big = KernelConfig(variant="stream", step=1, tm=512)
+    big = KernelConfig(variant="stream", step=1, tm=65536)
     assert vmem_estimate(spec, big) is None
-    ok = KernelConfig(variant="stream", step=1, tm=16)
+    # tm below the 3D row halo (h*M + h = 513) is structurally invalid
+    small = KernelConfig(variant="stream", step=1, tm=512)
+    assert vmem_estimate(spec, small) is None
+    ok = KernelConfig(variant="stream", step=1, tm=1024)
     cand = vmem_estimate(spec, ok)
     assert cand is not None and cand.vmem_bytes > 0
 
