@@ -33,8 +33,9 @@ _DEFAULTS = {
     "2d9pt_cross": dict(variant="stream", step=2, tm=256),
     "2d9pt_box": dict(variant="stream", step=1, tm=256),
     "2d25pt_box": dict(variant="stream", step=1, tm=256),
-    "3d7pt_star": dict(variant="stream", step=1, tm=32),
-    "3d9pt_cross": dict(variant="stream", step=1, tm=32),
+    # tall 3D layout: tm must exceed the row halo h*M + h (= 513)
+    "3d7pt_star": dict(variant="stream", step=1, tm=8192),
+    "3d9pt_cross": dict(variant="stream", step=1, tm=8192),
 }
 
 

@@ -1,0 +1,79 @@
+"""Tracing / roofline accounting — the ncu-metrics analogue (SURVEY §5).
+
+The reference wraps every tuned binary in Nsight Compute and extracts 57
+counters; on TPU the equivalents are (a) a `jax.profiler` trace for the
+timeline (works on standard TPU hosts; on tunneled/experimental platforms
+it may be unavailable — callers treat failures as soft), and (b) an
+analytic traffic/FLOP model per kernel config, which combined with the
+measured time yields achieved bandwidth and roofline fraction — the
+`SOL DRAM` analogue.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from drstencil_tpu.ir.passes import Analysis
+from drstencil_tpu.ops import stream as stream_mod
+from drstencil_tpu.ops.config import KernelConfig
+
+
+@contextlib.contextmanager
+def maybe_trace(trace_dir: str | None):
+    """jax.profiler trace if requested and supported; no-op otherwise."""
+    if not trace_dir:
+        yield False
+        return
+    import jax
+
+    try:
+        with jax.profiler.trace(trace_dir):
+            yield True
+    except Exception:
+        yield False
+
+
+@dataclass(frozen=True)
+class TrafficModel:
+    """Analytic per-apply HBM traffic + FLOPs for one kernel config."""
+
+    read_bytes: int
+    write_bytes: int
+    flops: int
+    vmem_bytes: int
+
+    @property
+    def total_bytes(self) -> int:
+        return self.read_bytes + self.write_bytes
+
+    def achieved(self, seconds_per_apply: float, peak_gbps: float):
+        """(achieved GB/s on modeled traffic, roofline fraction)."""
+        gbps = self.total_bytes / seconds_per_apply / 1e9
+        return gbps, gbps / peak_gbps
+
+
+def traffic_model(an: Analysis, cfg: KernelConfig) -> TrafficModel:
+    """Model the streaming kernel's HBM traffic for one application."""
+    g = stream_mod.make_geometry(an, cfg)
+    item = np.dtype(cfg.dtype).itemsize
+    cells = int(np.prod(g.dims))
+    # window refetch overhead + lane padding on reads and writes
+    read = int(
+        g.n_strips * g.window * g.wb * item       # input windows
+        + 2 * g.frame_rows * g.wb * item          # lo/hi slabs (hoisted)
+        + g.n_strips * g.tm * 2 * g.halo * item   # face slab tiles
+    )
+    write = int(g.rows_padded * g.wb * item)
+    if len(g.dims) == 3:
+        # j-frame fixup: read slab + write 2h rows per plane
+        fix = 2 * g.halo * (g.rows_padded // g.mid) * g.wb * item
+        read += fix
+        write += fix
+    flops = 2 * len(an.fused) * cells
+    vmem = item * (2 * g.window * g.wb + 2 * g.tm * g.wb + g.hrow * g.lanes)
+    return TrafficModel(
+        read_bytes=read, write_bytes=write, flops=flops, vmem_bytes=vmem
+    )
