@@ -234,29 +234,45 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
     lo_segs = segments(g.pr, fr)
     hi_segs = segments(g.pr + g.rows - fr, fr)
 
+    # Accumulate in row chunks of ~2 MB so Mosaic never materializes a
+    # full (tm, wb) temporary per tap (observed: 150+ MB of register
+    # spills at tm=8192 with whole-strip accumulation).
+    ch = max(8, min(tm, (2 * 1024 * 1024 // 4 // max(wb, 1)) // 8 * 8))
+    while tm % ch:
+        ch -= 8
+
     def kernel(a_ref, lo_ref, hi_ref, face_ref, o_ref, carry):
         i = pl.program_id(0)
-        w = a_ref[...].astype(jnp.float32)
-
-        # out rows [hc, tm + hc) of this strip: static (row, lane) slices
-        # (or rolls) of the window
-        rolled = {0: w}
-        ext = None
-        for d, s, coe in taps:
-            if pc:
-                term = w[hc + d : hc + d + tm, pc + s : pc + s + N]
-            else:
-                if s not in rolled:
-                    rolled[s] = jnp.roll(w, -s, axis=1)
-                term = rolled[s][hc + d : hc + d + tm, :]
-            term = jnp.asarray(coe, jnp.float32) * term
-            ext = term if ext is None else ext + term
-        ext = ext.astype(dtype)
 
         # straddle carry: rows [0, hc) come from the previous strip's work
         o_ref[0:hc, pc : pc + N] = carry[...]
-        o_ref[hc:tm, pc : pc + N] = ext[0 : tm - hc]
-        carry[...] = ext[tm - hc : tm]
+
+        # out rows [hc, tm + hc) of this strip, chunk by chunk: every tap
+        # is a static (row, lane) slice (or roll) of the window
+        def chunk_acc(base):
+            acc = None
+            for d, s, coe in taps:
+                r0 = hc + d + base
+                if pc:
+                    term = a_ref[r0 : r0 + ch, pc + s : pc + s + N]
+                else:
+                    term = a_ref[r0 : r0 + ch, :]
+                    if s:
+                        term = jnp.roll(term, -s, axis=1)
+                term = jnp.asarray(coe, jnp.float32) * term.astype(jnp.float32)
+                acc = term if acc is None else acc + term
+            return acc.astype(dtype)
+
+        # ext row e (0-based) is out-tile row hc + e; rows >= tm - hc of
+        # the ext space belong to the next strip and park in the carry
+        for base in range(0, tm, ch):
+            acc = chunk_acc(base)
+            lo_r, hi_r = base, base + ch  # ext-space rows
+            cut = min(max(tm - hc - lo_r, 0), ch)
+            if cut > 0:
+                o_ref[hc + lo_r : hc + lo_r + cut, pc : pc + N] = acc[0:cut]
+            if cut < ch:
+                carry[lo_r + cut - (tm - hc) : hi_r - (tm - hc)] = acc[cut:ch]
 
         # frozen lane frame (i-frame), every strip
         o_ref[:, pc : pc + h] = face_ref[:, 0:h]

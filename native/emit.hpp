@@ -158,6 +158,11 @@ inline std::string emit_program(const Analysis& an, const EmitConfig& cfg,
     o << "HK = " << g.hk << "\nPR = " << g.pr << "\nTM = " << g.tm << "\n";
     o << "NSTRIPS = " << g.n_strips << "\nROWS_PADDED = " << g.rows_padded
       << "\n";
+    // chunked accumulation keeps Mosaic temporaries ~2MB (no spills)
+    long wb_ = g.n + 2 * g.pc;
+    long ch = std::max(8L, std::min(g.tm, (2L * 1024 * 1024 / 4 / std::max(wb_, 1L)) / 8 * 8));
+    while (g.tm % ch) ch -= 8;
+    o << "CH = " << ch << "   # accumulation chunk rows\n";
     o << "PC = " << g.pc << "    # junk lane padding (0 => lane rolls)\n";
     o << "WB = " << (g.n + 2 * g.pc) << "\nFR = " << g.fr << "\n";
     o << "FLAT3D = " << (is3d ? "True" : "False") << "\n";
@@ -223,45 +228,42 @@ if __name__ == "__main__":
 
     o << "\n\ndef kernel(a_ref, lo_ref, hi_ref, face_ref, o_ref, carry):\n";
     o << "    i = pl.program_id(0)\n";
-    o << "    w = a_ref[...].astype(jnp.float32)\n";
-    if (g.pc == 0) {
-        // roll mode: one rolled window per distinct lane shift
-        std::map<long, std::string> rolled;
-        int gi = 0;
-        for (const auto& [key, coe] : taps) {
-            (void)coe;
-            long s = key.second;
-            if (s == 0 || rolled.count(s)) continue;
-            std::string nm = "w" + std::to_string(gi++);
-            rolled[s] = nm;
-            o << "    " << nm << " = jnp.roll(w, " << -s << ", axis=1)\n";
-        }
-        rolled[0] = "w";
-        o << "    ext = (\n";
-        bool first = true;
-        for (const auto& [key, coe] : taps) {
-            const auto& [d, s] = key;
-            o << "        " << (first ? "  " : "+ ") << "(" << fmt_coe(coe)
-              << ") * " << rolled[s] << "[" << (g.hrow + d) << ":"
-              << (g.hrow + d + g.tm) << ", :]\n";
-            first = false;
-        }
-        o << "    ).astype(jnp." << cfg.dtype << ")\n";
-    } else {
-        o << "    ext = (\n";
-        bool first = true;
-        for (const auto& [key, coe] : taps) {
-            const auto& [d, s] = key;
-            o << "        " << (first ? "  " : "+ ") << "(" << fmt_coe(coe)
-              << ") * w[" << (g.hrow + d) << ":" << (g.hrow + d + g.tm)
-              << ", " << (g.pc + s) << ":" << (g.pc + s + g.n) << "]\n";
-            first = false;
-        }
-        o << "    ).astype(jnp." << cfg.dtype << ")\n";
-    }
     o << "    o_ref[0:HROW, PC : PC + N] = carry[...]\n";
-    o << "    o_ref[HROW:TM, PC : PC + N] = ext[0 : TM - HROW]\n";
-    o << "    carry[...] = ext[TM - HROW : TM]\n";
+    o << "\n    def chunk_acc(base):\n";
+    o << "        return (\n";
+    {
+        bool first = true;
+        for (const auto& [key, coe] : taps) {
+            const auto& [d, s] = key;
+            if (g.pc != 0) {
+                o << "            " << (first ? "  " : "+ ") << "(" << fmt_coe(coe)
+                  << ") * a_ref[base+" << (g.hrow + d) << " : base+"
+                  << (g.hrow + d + ch) << ", " << (g.pc + s) << ":"
+                  << (g.pc + s + g.n) << "].astype(jnp.float32)\n";
+            } else if (s == 0) {
+                o << "            " << (first ? "  " : "+ ") << "(" << fmt_coe(coe)
+                  << ") * a_ref[base+" << (g.hrow + d) << " : base+"
+                  << (g.hrow + d + ch) << ", :].astype(jnp.float32)\n";
+            } else {
+                o << "            " << (first ? "  " : "+ ") << "(" << fmt_coe(coe)
+                  << ") * jnp.roll(a_ref[base+" << (g.hrow + d) << " : base+"
+                  << (g.hrow + d + ch) << ", :], " << -s
+                  << ", axis=1).astype(jnp.float32)\n";
+            }
+            first = false;
+        }
+    }
+    o << "        ).astype(jnp." << cfg.dtype << ")\n";
+    o << R"PY(
+    for base in range(0, TM, CH):
+        acc = chunk_acc(base)
+        cut = min(max(TM - HROW - base, 0), CH)
+        if cut > 0:
+            o_ref[HROW + base : HROW + base + cut, PC : PC + N] = acc[0:cut]
+        if cut < CH:
+            lo = base + cut - (TM - HROW)
+            carry[lo : base + CH - (TM - HROW)] = acc[cut:CH]
+)PY";
     // frozen lane frame
     o << "    o_ref[:, PC : PC + H] = face_ref[:, 0:H]\n";
     o << "    o_ref[:, PC + N - H : PC + N] = face_ref[:, H : 2 * H]\n";
