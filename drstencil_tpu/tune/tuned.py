@@ -17,6 +17,13 @@ from drstencil_tpu.ops.config import KernelConfig
 # v5e HBM peak ~819 GB/s (16 GB @ 819 GBps); roofline denominator.
 HBM_PEAK_GBPS = 819.0
 
+
+def naive_sol_gstencil(itemsize: int = 4) -> float:
+    """Speed-of-light stencil throughput of a NAIVE (unfused) sweep:
+    one read + one write per cell per timestep at HBM peak.  Temporal
+    fusion legitimately exceeds 1.0 of this — the point of DRStencil."""
+    return HBM_PEAK_GBPS / (2 * itemsize)
+
 TUNED_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "benchmarks",
@@ -26,16 +33,19 @@ TUNED_PATH = os.path.join(
 # Curated defaults (hand-measured; the tuner refines these).
 # Diagonal (cross) stencils need step>=2 for axis-0 reuse — same
 # constraint the reference tuner encodes (tuning.py:24-25,125).
+# Fusion (step=2) beats step=1 on per-timestep throughput for every
+# measured stencil (e.g. 2d5pt: 107 vs 74 GStencil/s; 3d7pt: 77 vs 55);
+# the tuner refines these per stencil.
 _DEFAULTS = {
-    "2d5pt_star": dict(variant="stream", step=1, tm=256),
-    "2d5pt_cross": dict(variant="stream", step=2, tm=256),
-    "2d9pt_star": dict(variant="stream", step=1, tm=256),
-    "2d9pt_cross": dict(variant="stream", step=2, tm=256),
-    "2d9pt_box": dict(variant="stream", step=1, tm=256),
-    "2d25pt_box": dict(variant="stream", step=1, tm=256),
-    # tall 3D layout: tm must exceed the row halo h*M + h (= 513)
-    "3d7pt_star": dict(variant="stream", step=1, tm=8192),
-    "3d9pt_cross": dict(variant="stream", step=1, tm=8192),
+    "2d5pt_star": dict(variant="stream", step=2, tm=512, lane_mode="roll"),
+    "2d5pt_cross": dict(variant="stream", step=2, tm=512, lane_mode="roll"),
+    "2d9pt_star": dict(variant="stream", step=2, tm=512, lane_mode="roll"),
+    "2d9pt_cross": dict(variant="stream", step=2, tm=512, lane_mode="roll"),
+    "2d9pt_box": dict(variant="stream", step=2, tm=512, lane_mode="roll"),
+    "2d25pt_box": dict(variant="stream", step=2, tm=512, lane_mode="roll"),
+    # tall 3D layout: tm must exceed the fused row halo step*h*(M+1)
+    "3d7pt_star": dict(variant="stream", step=2, tm=8192),
+    "3d9pt_cross": dict(variant="stream", step=2, tm=8192),
 }
 
 
