@@ -102,6 +102,74 @@ def make_mesh(n_devices: int, devices: Sequence | None = None,
     return Mesh(np.array(devs[:n_devices]), (axis_name,))
 
 
+def make_mesh_2d(shape: tuple, devices: Sequence | None = None,
+                 axis_names=("x", "y")) -> Mesh:
+    n = shape[0] * shape[1]
+    devs = list(devices) if devices is not None else jax.devices()[:n]
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]).reshape(shape), tuple(axis_names))
+
+
+def make_sharded_apply_2d(an: Analysis, mesh: Mesh,
+                          axis_names=("x", "y")):
+    """2-axis spatial decomposition: axis 0 over mesh axis 0, axis 1 over
+    mesh axis 1, with halo exchanges along both (two ppermute phases per
+    application, each riding its ICI ring)."""
+    taps = sorted(an.fused.items())
+    h = an.halo
+    dims = an.spec.dims
+    nd = len(dims)
+    ax, ay = axis_names
+    nx, ny = mesh.shape[ax], mesh.shape[ay]
+    if dims[0] % nx or dims[1] % ny:
+        raise ValueError(
+            f"grid {dims[:2]} not divisible by mesh {nx}x{ny}"
+        )
+    lx, ly = dims[0] // nx, dims[1] // ny
+    if lx < h or ly < h:
+        raise ValueError("local slab smaller than the halo")
+
+    def local_apply(src, dst):
+        below, above = _exchange_rows(src, h, ax)
+        ext = jnp.concatenate([below, src, above], axis=0)
+        # exchange along axis 1: swap into axis-0 position for the helper
+        s1 = jnp.moveaxis(ext, 1, 0)
+        left, right = _exchange_rows(s1, h, ay)
+        ext = jnp.moveaxis(
+            jnp.concatenate([left, s1, right], axis=0), 0, 1
+        )
+        acc = None
+        inner = (lx, ly) + tuple(d - 2 * h for d in dims[2:])
+        for off, coe in taps:
+            start = (h + off[0], h + off[1]) + tuple(
+                h + off[a] for a in range(2, nd)
+            )
+            sl = jax.lax.slice(
+                ext, start, tuple(s + i for s, i in zip(start, inner))
+            )
+            term = jnp.asarray(coe, src.dtype) * sl
+            acc = term if acc is None else acc + term
+        new = jax.lax.dynamic_update_slice(
+            dst, acc, (0, 0) + (h,) * (nd - 2)
+        )
+        ix = jax.lax.axis_index(ax)
+        iy = jax.lax.axis_index(ay)
+        row = jax.lax.broadcasted_iota(jnp.int32, new.shape, 0) + ix * lx
+        col = jax.lax.broadcasted_iota(jnp.int32, new.shape, 1) + iy * ly
+        frame = (
+            (row < h) | (row >= dims[0] - h)
+            | (col < h) | (col >= dims[1] - h)
+        )
+        return jnp.where(frame, dst, new)
+
+    spec = P(ax, ay, *([None] * (nd - 2)))
+    f = shard_map(
+        local_apply, mesh=mesh, in_specs=(spec, spec), out_specs=spec
+    )
+    return f, NamedSharding(mesh, spec)
+
+
 def sharded_pair(an: Analysis, mesh: Mesh, axis_name: str = "x"):
     """jitted (a, b) -> (a', b') ping-pong pair on the sharded state."""
     f, sharding = make_sharded_apply(an, mesh, axis_name)

@@ -72,3 +72,37 @@ def test_indivisible_axis_raises(cpu_mesh):
     an = analyze(spec, step=1)
     with pytest.raises(ValueError, match="not divisible"):
         halo.make_sharded_apply(an, cpu_mesh)
+
+
+def test_2d_mesh_decomposition():
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("need 4 virtual CPU devices")
+    mesh = halo.make_mesh_2d((2, 2), devices=devs)
+    spec = small_spec("2d9pt_box")
+    an = analyze(spec, step=1)
+    f, sharding = halo.make_sharded_apply_2d(an, mesh)
+    a0, b0 = golden.random_state(spec, seed=4, dtype=np.float64)
+    a = jax.device_put(jnp.asarray(a0), sharding)
+    b = jax.device_put(jnp.asarray(b0), sharding)
+    b = jax.jit(f)(a, b)
+    want = golden.apply_interior(a0, b0, an.fused, an.halo)
+    me, _ = golden.check_error(np.asarray(b), want, an.halo)
+    assert me < 1e-9
+
+
+def test_2d_mesh_3d_grid():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 virtual CPU devices")
+    mesh = halo.make_mesh_2d((4, 2), devices=devs)
+    spec = small_spec("3d7pt_star", dims=(16, 16, 128))
+    an = analyze(spec, step=1)
+    f, sharding = halo.make_sharded_apply_2d(an, mesh)
+    a0, b0 = golden.random_state(spec, seed=5, dtype=np.float64)
+    a = jax.device_put(jnp.asarray(a0), sharding)
+    b = jax.device_put(jnp.asarray(b0), sharding)
+    b = jax.jit(f)(a, b)
+    want = golden.apply_interior(a0, b0, an.fused, an.halo)
+    me, _ = golden.check_error(np.asarray(b), want, an.halo)
+    assert me < 1e-9
