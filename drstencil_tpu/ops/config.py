@@ -61,6 +61,8 @@ class KernelConfig:
             val = getattr(self, key)
             if val is not None:
                 parts.append(f"{key}{val}")
+        if self.lane_mode:
+            parts.append(self.lane_mode)
         if self.dtype != "float32":
             parts.append(self.dtype)
         return "_".join(parts)

@@ -39,6 +39,19 @@ class RunResult:
     achieved_gbps: float = 0.0
 
 
+_GOLD_CACHE: dict = {}
+
+
+def _gold_cache_get(spec, cfg):
+    """XLA gold programs keyed by (spec, step, dtype) — a tuning sweep
+    re-checks many configs against the same gold; compile it once."""
+    key = (spec.name, spec.dims, cfg.step, cfg.distance, cfg.merge_forward,
+           cfg.dtype)
+    if key not in _GOLD_CACHE:
+        _GOLD_CACHE[key] = StencilProgram(spec, cfg.replace_variant("xla"))
+    return _GOLD_CACHE[key]
+
+
 @jax.jit
 def _sync_probe(x):
     return jnp.sum(x[:1, :8].astype(jnp.float32))
@@ -296,7 +309,7 @@ class StencilProgram:
         (codegen.hpp:591-626), avoiding the ~3 MB/s D2H path."""
         if self.cfg.variant == "xla":
             raise ValueError("device_check compares against the xla variant")
-        gold = StencilProgram(self.spec, self.cfg.replace_variant("xla"))
+        gold = _gold_cache_get(self.spec, self.cfg)
         s_me = self.init_state(seed, on_device=True)
         s_gd = gold.init_state(seed, on_device=True)
         s_me = self.run_pairs(s_me, pairs)

@@ -51,7 +51,7 @@ def run_session(bench_dir: str, out_dir: str, budget_per_stencil: float = 600.0,
         results[name] = res
         log(f"[{name}] best: "
             f"{res.best_cfg.label() if res.best_cfg else 'none'} "
-            f"{res.best_ms:.3f} ms/pair")
+            f"{res.best_ms:.3f} ms/step")
     aggregate_metrics(out_dir)
     with open(os.path.join(out_dir, "tuning-time.log"), "a") as f:
         f.write(f"session: {time.time() - t0:.0f} s\n")

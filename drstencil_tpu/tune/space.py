@@ -69,7 +69,6 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
     steps = (1, 2, 3)
     seen = set()
     for step in steps:
-        # reference dist range: [(step-1)*order, step*order], 0 = auto
         base_order = order_of(fuse(spec.taps, 1))
         if is3d:
             # tall layout: tm must exceed the fused row halo h*M + h
@@ -83,10 +82,15 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
             {0}
             | set(range(max(1, (step - 1) * base_order), step * base_order + 1))
         )
-        for dist, tm in itertools.product(dists, tms):
+        # NOTE: the reference also sweeps --dist, which shapes its
+        # forward/backward split and shm Range; our kernel owns the whole
+        # haloed tile in VMEM, so distance is analysis-only metadata and
+        # never changes the generated program — keep it at auto (0).
+        lane_modes = (None,) if is3d else ("roll", "slice")
+        for tm, lm in itertools.product(tms, lane_modes):
             cand = vmem_estimate(
-                spec, KernelConfig(variant="stream", step=step,
-                                   distance=dist, tm=tm)
+                spec, KernelConfig(variant="stream", step=step, tm=tm,
+                                   lane_mode=lm)
             )
             if cand is None:
                 continue

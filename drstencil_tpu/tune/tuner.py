@@ -199,7 +199,7 @@ def main(argv=None):
     print(
         f"best for {spec.name}: "
         f"{res.best_cfg.label() if res.best_cfg else 'none'} "
-        f"at {res.best_ms:.4f} ms/pair ({res.tried} tried, {res.errors} errors)"
+        f"at {res.best_ms:.4f} ms/step ({res.tried} tried, {res.errors} errors)"
     )
 
 

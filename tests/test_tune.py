@@ -99,3 +99,37 @@ def test_error_config_skipped_and_logged(tmp_path):
     with open(tuner.ledger_path) as f:
         ledger = json.load(f)
     assert all(e["status"] == "error" for e in ledger.values())
+
+
+def test_session_driver(tmp_path, monkeypatch):
+    """End-to-end session over two stencils (interpret mode)."""
+    import drstencil_tpu.tune.session as session_mod
+    import drstencil_tpu.tune.tuner as tuner_mod
+    from drstencil_tpu.tune import tuned as tuned_mod
+
+    class InterpretTuner(tuner_mod.Tuner):
+        def _measure(self, cand):
+            cand = type(cand)(
+                cfg=cand.cfg.replace(interpret=True),
+                vmem_bytes=cand.vmem_bytes,
+                window=cand.window,
+            )
+            return super()._measure(cand)
+
+    monkeypatch.setattr(session_mod, "Tuner",
+                        lambda spec, out, **kw: InterpretTuner(
+                            spec, out, pairs=1, check=False))
+    monkeypatch.setattr(tuned_mod, "TUNED_PATH",
+                        str(tmp_path / "tuned.json"))
+
+    # tiny stencils in a temp bench dir
+    bench = tmp_path / "bench"
+    bench.mkdir()
+    (bench / "t1.stc").write_text(
+        "M 32\nN 256\niterations 4\nstencil\n0 0 0.5\n1 0 0.25\n-1 0 0.25\n")
+    res = session_mod.run_session(
+        str(bench), str(tmp_path / "out"), max_configs=2,
+        stencils=["t1"], log=lambda *_: None)
+    assert res["t1"].best_cfg is not None
+    assert os.path.exists(tmp_path / "out" / "tuning-time.log")
+    assert os.path.exists(tmp_path / "out" / "gpuMetrics.csv")
