@@ -42,6 +42,11 @@ class KernelConfig:
     # lane-shift strategy: "slice" (static slices into pad lanes),
     # "roll" (wrap-around, no padding), None = auto by lane width
     lane_mode: Optional[str] = None
+    # temporal fusion strategy for step > 1: False = coefficient-level
+    # fusion (reference parity: one wider operator, taps grow ~step^2);
+    # True = trapezoid (apply the base stencil `step` times through VMEM
+    # scratch per strip — FLOPs linear in step, the TPU-native win)
+    trapezoid: bool = False
     # run kernels in the Pallas interpreter (for off-TPU tests)
     interpret: bool = False
 
@@ -61,6 +66,8 @@ class KernelConfig:
             val = getattr(self, key)
             if val is not None:
                 parts.append(f"{key}{val}")
+        if self.trapezoid:
+            parts.append("trap")
         if self.lane_mode:
             parts.append(self.lane_mode)
         if self.dtype != "float32":

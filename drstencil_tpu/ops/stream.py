@@ -209,11 +209,28 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
 
     # Taps as (row shift, lane shift, coeff), sorted — order keeps fp32
     # summation identical to the native emitter's.
-    taps = []
-    for off, coe in sorted(an.fused.items()):
-        d = off[0] * mid + off[1] if len(off) == 3 else off[0]
-        taps.append((d, off[-1], coe))
-    taps.sort()
+    def to_rowlane(tap_map):
+        out = []
+        for off, coe in sorted(tap_map.items()):
+            d = off[0] * mid + off[1] if len(off) == 3 else off[0]
+            out.append((d, off[-1], coe))
+        out.sort()
+        return out
+
+    taps = to_rowlane(an.fused)
+
+    # Trapezoid mode: apply the BASE stencil `step` times through VMEM
+    # scratch per strip instead of one fused operator — FLOPs grow
+    # linearly in step instead of ~quadratically (tap blow-up), while the
+    # window/carry geometry is unchanged (the fused row halo hrow equals
+    # step·hrow_base exactly).  Intermediate levels are the *unbounded*
+    # linear application: cells polluted by scratch garbage or roll wrap
+    # only ever feed final outputs inside the frozen frame.
+    s_levels = an.step if (cfg.trapezoid and an.step > 1) else 1
+    if s_levels > 1:
+        base_taps = to_rowlane(an.spec.taps)
+        hr_b = hc // s_levels
+        assert hr_b * s_levels == hc, "fused hrow must be step*base hrow"
 
     # Static row-frame placement: strips and in-strip offsets covering the
     # low/high frame_rows real rows (padded rows [pr, pr+fr) and
@@ -241,38 +258,62 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
     while tm % ch:
         ch -= 8
 
-    def kernel(a_ref, lo_ref, hi_ref, face_ref, o_ref, carry):
+    def kernel(a_ref, lo_ref, hi_ref, face_ref, o_ref, carry, *scratch):
         i = pl.program_id(0)
 
         # straddle carry: rows [0, hc) come from the previous strip's work
         o_ref[0:hc, pc : pc + N] = carry[...]
 
-        # out rows [hc, tm + hc) of this strip, chunk by chunk: every tap
-        # is a static (row, lane) slice (or roll) of the window
-        def chunk_acc(base):
+        def chunk_acc(src_ref, tap_list, off, base, cs):
+            """Σ taps over chunk rows [base, base+cs) of the target level;
+            src rows are offset by `off`, each tap a static (row, lane)
+            slice (or roll) of the source."""
             acc = None
-            for d, s, coe in taps:
-                r0 = hc + d + base
+            for d, s, coe in tap_list:
+                r0 = off + d + base
                 if pc:
-                    term = a_ref[r0 : r0 + ch, pc + s : pc + s + N]
+                    term = src_ref[r0 : r0 + cs, pc + s : pc + s + N]
                 else:
-                    term = a_ref[r0 : r0 + ch, :]
+                    term = src_ref[r0 : r0 + cs, :]
                     if s:
                         term = jnp.roll(term, -s, axis=1)
                 term = jnp.asarray(coe, jnp.float32) * term.astype(jnp.float32)
                 acc = term if acc is None else acc + term
-            return acc.astype(dtype)
+            return acc
 
-        # ext row e (0-based) is out-tile row hc + e; rows >= tm - hc of
-        # the ext space belong to the next strip and park in the carry
-        for base in range(0, tm, ch):
-            acc = chunk_acc(base)
-            lo_r, hi_r = base, base + ch  # ext-space rows
-            cut = min(max(tm - hc - lo_r, 0), ch)
+        def write_ext(acc, base, cs):
+            """ext row e is out-tile row hc + e; rows >= tm - hc of the
+            ext space belong to the next strip and park in the carry."""
+            acc = acc.astype(dtype)
+            cut = min(max(tm - hc - base, 0), cs)
             if cut > 0:
-                o_ref[hc + lo_r : hc + lo_r + cut, pc : pc + N] = acc[0:cut]
-            if cut < ch:
-                carry[lo_r + cut - (tm - hc) : hi_r - (tm - hc)] = acc[cut:ch]
+                o_ref[hc + base : hc + base + cut, pc : pc + N] = acc[0:cut]
+            if cut < cs:
+                lo_r = base + cut - (tm - hc)
+                carry[lo_r : base + cs - (tm - hc)] = acc[cut:cs]
+
+        if s_levels == 1:
+            # fused-operator path: one application of the (possibly
+            # coefficient-fused) tap set straight from the window
+            for base in range(0, tm, ch):
+                write_ext(chunk_acc(a_ref, taps, hc, base, ch), base, ch)
+        else:
+            # trapezoid: level t covers window rows shifted by t*hr_b,
+            # length window - 2*t*hr_b; final level is the ext space
+            src = a_ref
+            for t in range(1, s_levels + 1):
+                if t < s_levels:
+                    dst = scratch[(t - 1) % len(scratch)]
+                    lt = g.window - 2 * t * hr_b
+                    for base in range(0, lt, ch):
+                        cs = min(ch, lt - base)
+                        acc = chunk_acc(src, base_taps, hr_b, base, cs)
+                        dst[base : base + cs, pc : pc + N] = acc
+                    src = dst
+                else:
+                    for base in range(0, tm, ch):
+                        acc = chunk_acc(src, base_taps, hr_b, base, ch)
+                        write_ext(acc, base, ch)
 
         # frozen lane frame (i-frame), every strip
         o_ref[:, pc : pc + h] = face_ref[:, 0:h]
@@ -315,7 +356,11 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((g.rows_padded, wb), dtype),
-        scratch_shapes=[pltpu.VMEM((hc, N), dtype)],
+        scratch_shapes=[pltpu.VMEM((hc, N), dtype)]
+        + [
+            pltpu.VMEM((g.window, wb), jnp.float32)
+            for _ in range(min(s_levels - 1, 2))
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),

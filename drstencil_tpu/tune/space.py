@@ -55,6 +55,8 @@ def vmem_estimate(spec: StencilSpec, cfg: KernelConfig) -> Optional[Candidate]:
         + 3 * g.frame_rows * g.wb     # lo/hi slabs + headroom
         + g.hrow * g.lanes            # straddle carry
     )
+    if cfg.trapezoid and cfg.step > 1:
+        bytes_ += 4 * g.window * g.wb * min(cfg.step - 1, 2)  # level scratch
     if bytes_ > VMEM_BUDGET_BYTES:
         return None
     return Candidate(cfg=cfg, vmem_bytes=int(bytes_), window=g.window)
@@ -87,10 +89,11 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
         # haloed tile in VMEM, so distance is analysis-only metadata and
         # never changes the generated program — keep it at auto (0).
         lane_modes = (None,) if is3d else ("roll", "slice")
-        for tm, lm in itertools.product(tms, lane_modes):
+        traps = (False,) if step == 1 else (False, True)
+        for tm, lm, trap in itertools.product(tms, lane_modes, traps):
             cand = vmem_estimate(
                 spec, KernelConfig(variant="stream", step=step, tm=tm,
-                                   lane_mode=lm)
+                                   lane_mode=lm, trapezoid=trap)
             )
             if cand is None:
                 continue

@@ -107,3 +107,34 @@ def test_num_pairs_protocol():
     spec = small_spec("2d5pt_star")
     assert StencilProgram(spec, KernelConfig(variant="xla", step=1)).num_pairs() == 2
     assert StencilProgram(spec, KernelConfig(variant="xla", step=2)).num_pairs() == 1
+
+
+@pytest.mark.parametrize("name", ["2d5pt_star", "2d25pt_box", "3d7pt_star"])
+@pytest.mark.parametrize("step", [2, 3])
+def test_trapezoid_matches_golden(name, step):
+    """Trapezoid multi-step (base stencil applied `step` times in VMEM)
+    must agree with the fp64 golden like the coefficient-fused path."""
+    tm = 16 if name.startswith("2d") else 96
+    spec = small_spec(name)
+    cfg = KernelConfig(variant="stream", step=step, tm=tm,
+                       trapezoid=True, interpret=True)
+    prog = StencilProgram(spec, cfg)
+    max_err, rms = prog.check(seed=0, pairs=1)
+    # non-normalized operators grow values by sum(coeffs) each timestep;
+    # fp32 absolute error scales with the magnitude
+    growth = max(1.0, sum(spec.taps.values())) ** (2 * step)
+    assert max_err < MAX_TOL * growth, f"max_err={max_err}"
+    assert rms < RMS_TOL * growth
+
+
+def test_trapezoid_close_to_fused():
+    spec = small_spec("2d9pt_box", dims=(64, 256))
+    fused = StencilProgram(
+        spec, KernelConfig(variant="stream", step=2, tm=16, interpret=True))
+    trap = StencilProgram(
+        spec, KernelConfig(variant="stream", step=2, tm=16,
+                           trapezoid=True, interpret=True))
+    sf = fused.run_pairs(fused.init_state(5), 1)
+    st = trap.run_pairs(trap.init_state(5), 1)
+    np.testing.assert_allclose(
+        trap.final_a(st), fused.final_a(sf), rtol=3e-5, atol=2e-3)
