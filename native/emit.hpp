@@ -32,6 +32,7 @@ struct EmitConfig {
     bool gold_only = false; // emit a golden-model-only program (--gold)
     std::string dtype = "float32";
     std::string lane_mode;  // "", "slice", "roll"
+    bool trapezoid = false; // multi-step-in-VMEM instead of coeff fusion
     // Reference knobs with no TPU meaning, recorded for provenance:
     int by = 16, sn = 16, stream_unroll = 4;
     int bmx = 1, bmy = 1, cmx = 1, cmy = 1;
@@ -113,6 +114,18 @@ inline std::string emit_program(const Analysis& an, const EmitConfig& cfg,
     for (const auto& [off, coe] : an.fused) {
         long d = off.size() == 3 ? long(off[0]) * g.mid + off[1] : off[0];
         taps[{d, off.back()}] = coe;
+    }
+    const bool trap = cfg.trapezoid && an.step > 1;
+    std::map<std::pair<long, long>, double> base_taps;
+    long hr_b = 0;
+    if (trap) {
+        for (const auto& [off, coe] : spec.taps) {
+            long d = off.size() == 3 ? long(off[0]) * g.mid + off[1] : off[0];
+            base_taps[{d, off.back()}] = coe;
+        }
+        hr_b = g.hrow / an.step;
+        if (hr_b * an.step != g.hrow)
+            throw StcError("trapezoid: fused hrow not divisible by step");
     }
 
     // static row-frame segments (strip, local_offset, slab_offset, len)
@@ -226,35 +239,40 @@ if __name__ == "__main__":
     o << "from jax.experimental import pallas as pl\n";
     o << "from jax.experimental.pallas import tpu as pltpu\n";
 
-    o << "\n\ndef kernel(a_ref, lo_ref, hi_ref, face_ref, o_ref, carry):\n";
-    o << "    i = pl.program_id(0)\n";
-    o << "    o_ref[0:HROW, PC : PC + N] = carry[...]\n";
-    o << "\n    def chunk_acc(base):\n";
-    o << "        return (\n";
-    {
+    // helper: emit a chunked tap-sum expression reading `src` rows offset
+    // by `off`, chunk length symbol `cs`
+    auto emit_taps = [&](const std::map<std::pair<long, long>, double>& ts,
+                         const char* srcname, long off, const char* cs) {
         bool first = true;
-        for (const auto& [key, coe] : taps) {
+        for (const auto& [key, coe] : ts) {
             const auto& [d, s] = key;
+            o << "            " << (first ? "  " : "+ ") << "(" << fmt_coe(coe)
+              << ") * ";
             if (g.pc != 0) {
-                o << "            " << (first ? "  " : "+ ") << "(" << fmt_coe(coe)
-                  << ") * a_ref[base+" << (g.hrow + d) << " : base+"
-                  << (g.hrow + d + ch) << ", " << (g.pc + s) << ":"
-                  << (g.pc + s + g.n) << "].astype(jnp.float32)\n";
+                o << srcname << "[base+" << (off + d) << " : base+" << (off + d)
+                  << "+" << cs << ", " << (g.pc + s) << ":" << (g.pc + s + g.n)
+                  << "].astype(jnp.float32)\n";
             } else if (s == 0) {
-                o << "            " << (first ? "  " : "+ ") << "(" << fmt_coe(coe)
-                  << ") * a_ref[base+" << (g.hrow + d) << " : base+"
-                  << (g.hrow + d + ch) << ", :].astype(jnp.float32)\n";
+                o << srcname << "[base+" << (off + d) << " : base+" << (off + d)
+                  << "+" << cs << ", :].astype(jnp.float32)\n";
             } else {
-                o << "            " << (first ? "  " : "+ ") << "(" << fmt_coe(coe)
-                  << ") * jnp.roll(a_ref[base+" << (g.hrow + d) << " : base+"
-                  << (g.hrow + d + ch) << ", :], " << -s
+                o << "jnp.roll(" << srcname << "[base+" << (off + d)
+                  << " : base+" << (off + d) << "+" << cs << ", :], " << -s
                   << ", axis=1).astype(jnp.float32)\n";
             }
             first = false;
         }
-    }
-    o << "        ).astype(jnp." << cfg.dtype << ")\n";
-    o << R"PY(
+    };
+
+    if (!trap) {
+        o << "\n\ndef kernel(a_ref, lo_ref, hi_ref, face_ref, o_ref, carry):\n";
+        o << "    i = pl.program_id(0)\n";
+        o << "    o_ref[0:HROW, PC : PC + N] = carry[...]\n";
+        o << "\n    def chunk_acc(base):\n";
+        o << "        return (\n";
+        emit_taps(taps, "a_ref", g.hrow, "CH");
+        o << "        ).astype(jnp." << cfg.dtype << ")\n";
+        o << R"PY(
     for base in range(0, TM, CH):
         acc = chunk_acc(base)
         cut = min(max(TM - HROW - base, 0), CH)
@@ -264,6 +282,47 @@ if __name__ == "__main__":
             lo = base + cut - (TM - HROW)
             carry[lo : base + CH - (TM - HROW)] = acc[cut:CH]
 )PY";
+    } else {
+        long n_scratch = std::min<long>(an.step - 1, 2);
+        o << "HRB = " << hr_b << "   # base-operator row halo per level\n";
+        o << "NLEVELS = " << an.step << "\n";
+        o << "NSCRATCH = " << n_scratch << "\n";
+        o << "\n\ndef kernel(a_ref, lo_ref, hi_ref, face_ref, o_ref, carry, *lv):\n";
+        o << "    i = pl.program_id(0)\n";
+        o << "    o_ref[0:HROW, PC : PC + N] = carry[...]\n";
+        o << "\n    def level_acc(src, base, cs):\n";
+        o << "        return (\n";
+        emit_taps(base_taps, "src", hr_b, "cs");
+        o << "        )\n";
+        // tail chunks need their own expressions per chunk size; emit a
+        // generic python helper using dynamic slicing via static python
+        // loop with exact sizes instead:
+        o << R"PY(
+    src = a_ref
+    win = TM + 2 * HK
+    for t in range(1, NLEVELS + 1):
+        if t < NLEVELS:
+            dst = lv[(t - 1) % NSCRATCH]
+            lt = win - 2 * t * HRB
+            base = 0
+            while base < lt:
+                cs = min(CH, lt - base)
+                dst[base : base + cs, PC : PC + N] = level_acc(src, base, cs)
+                base += cs
+            src = dst
+        else:
+            for base in range(0, TM, CH):
+                acc = level_acc(src, base, CH).astype(jnp.)PY" << cfg.dtype
+          << R"PY()
+                cut = min(max(TM - HROW - base, 0), CH)
+                if cut > 0:
+                    o_ref[HROW + base : HROW + base + cut, PC : PC + N] = acc[0:cut]
+                if cut < CH:
+                    lo = base + cut - (TM - HROW)
+                    carry[lo : base + CH - (TM - HROW)] = acc[cut:CH]
+)PY";
+    }
+
     // frozen lane frame
     o << "    o_ref[:, PC : PC + H] = face_ref[:, 0:H]\n";
     o << "    o_ref[:, PC + N - H : PC + N] = face_ref[:, H : 2 * H]\n";
@@ -301,7 +360,10 @@ def build_call(interpret):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TM, WB), tile_map, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ROWS_PADDED, WB), dt),
-        scratch_shapes=[pltpu.VMEM((HROW, N), dt)],
+        scratch_shapes=[pltpu.VMEM((HROW, N), dt)] + [
+            pltpu.VMEM((TM + 2 * HK, WB), jnp.float32)
+            for _ in range(globals().get("NSCRATCH", 0))
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,

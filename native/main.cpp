@@ -43,6 +43,12 @@ Options:
 
 --dtype <t>             Device dtype: float32 (default) or bfloat16.
 
+--trapezoid             For --step > 1: apply the base stencil step times
+                        through VMEM scratch instead of coefficient fusion
+                        (FLOPs linear in step; wins for wide stencils).
+
+--lane-mode <m>         Lane-shift strategy: slice | roll (default: auto).
+
 --check                 Emit the fp64 golden check path (--check at runtime).
 
 --gold                  Emit a golden-model-only program.
@@ -95,6 +101,8 @@ int main(int argc, char** argv) {
         else if (a == "--prefetch") ecfg.prefetch = true;
         else if (a == "--merge-forward") merge_f = std::atoi(need_val(i));
         else if (a == "--dtype") ecfg.dtype = need_val(i);
+        else if (a == "--lane-mode") ecfg.lane_mode = need_val(i);
+        else if (a == "--trapezoid") ecfg.trapezoid = true;
         else if (a == "--check") ecfg.check = true;
         else if (a == "--gold") ecfg.gold_only = true;
         else if (a == "--dump-analysis") dump = true;

@@ -187,3 +187,24 @@ def test_emitted_matches_library_runtime(tmp_path):
         g["PR"] : g["PR"] + 64, g["PC"] : g["PC"] + g["N"]
     ]
     np.testing.assert_array_equal(gen_out, lib_out)
+
+
+def test_emitted_trapezoid_check(tmp_path):
+    stc = _write_small_stc(tmp_path, "tiny", (64, 256), FIVE_PT)
+    out_py = str(tmp_path / "trap.py")
+    subprocess.run(
+        [CLI, "--step", "2", "--trapezoid", "--bx", "16", "--check",
+         "-o", out_py, stc],
+        check=True, capture_output=True,
+    )
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, out_py, "--check", "--interpret",
+         "--pairs", "1", "--warmup", "1"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rms = [l for l in r.stdout.splitlines() if "RMS Error" in l]
+    assert rms and float(rms[0].split(":")[1]) < 1e-3, r.stdout
