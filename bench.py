@@ -61,8 +61,14 @@ def main():
     for name in names:
         spec = load_stc(os.path.join(BENCH_DIR, name + ".stc"))
         cfg = best_config(name)
-        prog = StencilProgram(spec, cfg)
-        res = prog.time(pairs=pairs)
+        try:
+            prog = StencilProgram(spec, cfg)
+            res = prog.time(pairs=pairs)
+        except Exception as e:  # a bad tuned config must not kill the bench
+            detail[name] = {"cfg": cfg.label(), "error": str(e)[:300]}
+            fracs.append(1e-6)
+            print(f"# {name}: ERROR {str(e)[:200]}", file=sys.stderr)
+            continue
         frac = res.gstencil_per_s / naive_sol_gstencil(prog.dtype.itemsize)
         fracs.append(frac)
         detail[name] = {

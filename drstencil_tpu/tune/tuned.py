@@ -34,18 +34,24 @@ TUNED_PATH = os.path.join(
 # Diagonal (cross) stencils need step>=2 for axis-0 reuse — same
 # constraint the reference tuner encodes (tuning.py:24-25,125).
 # Fusion (step=2) beats step=1 on per-timestep throughput for every
-# measured stencil (e.g. 2d5pt: 107 vs 74 GStencil/s; 3d7pt: 77 vs 55);
-# the tuner refines these per stencil.
+# measured stencil (e.g. 2d5pt: 107 vs 74 GStencil/s; 3d7pt: 77 vs 55).
+# Wide-radius operators go compute-bound under coefficient fusion
+# (2d9pt_star fused step2: 0.39 of naive roofline) — they default to the
+# trapezoid.  The tuner refines these per stencil into tuned.json.
 _DEFAULTS = {
     "2d5pt_star": dict(variant="stream", step=2, tm=512, lane_mode="roll"),
     "2d5pt_cross": dict(variant="stream", step=2, tm=512, lane_mode="roll"),
-    "2d9pt_star": dict(variant="stream", step=2, tm=512, lane_mode="roll"),
-    "2d9pt_cross": dict(variant="stream", step=2, tm=512, lane_mode="roll"),
-    "2d9pt_box": dict(variant="stream", step=2, tm=512, lane_mode="roll"),
-    "2d25pt_box": dict(variant="stream", step=2, tm=512, lane_mode="roll"),
+    "2d9pt_star": dict(variant="stream", step=2, tm=512, lane_mode="roll",
+                       trapezoid=True),
+    "2d9pt_cross": dict(variant="stream", step=2, tm=512, lane_mode="roll",
+                        trapezoid=True),
+    "2d9pt_box": dict(variant="stream", step=2, tm=512, lane_mode="roll",
+                      trapezoid=True),
+    "2d25pt_box": dict(variant="stream", step=2, tm=512, lane_mode="roll",
+                       trapezoid=True),
     # tall 3D layout: tm must exceed the fused row halo step*h*(M+1)
-    "3d7pt_star": dict(variant="stream", step=2, tm=8192),
-    "3d9pt_cross": dict(variant="stream", step=2, tm=8192),
+    "3d7pt_star": dict(variant="stream", step=2, tm=8192, trapezoid=True),
+    "3d9pt_cross": dict(variant="stream", step=2, tm=8192, trapezoid=True),
 }
 
 
