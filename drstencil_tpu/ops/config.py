@@ -20,23 +20,21 @@ from dataclasses import dataclass
 from typing import Optional
 
 
-VARIANTS_2D = ("xla", "strip2d")
-VARIANTS_3D = ("xla", "block3d", "stream3d")
+VARIANTS = ("stream", "xla")
 
 
 @dataclass(frozen=True)
 class KernelConfig:
     """Configuration for one generated/compiled stencil kernel."""
 
-    variant: str = "strip2d"
+    variant: str = "stream"
     # analysis knobs (reference: --step, --dist, --merge-forward)
     step: int = 1
     distance: int = 0  # 0 = auto (fused extent >> 1)
     merge_forward: int = 5
-    # tile shape (elements per grid step); None = pick a default
-    tm: Optional[int] = None  # rows (2D) / M-axis (3D)
-    tn: Optional[int] = None  # minor axis; None = full row (2D)
-    tl: Optional[int] = None  # streaming axis chunk (3D)
+    # rows per streaming strip (the tile-shape knob; reference --bx);
+    # None = auto from the VMEM budget
+    tm: Optional[int] = None
     # precision of device buffers
     dtype: str = "float32"
     # lane-shift strategy: "slice" (static slices into pad lanes),
@@ -62,10 +60,8 @@ class KernelConfig:
         parts = [self.variant, f"fu{self.step}"]
         if self.distance:
             parts.append(f"d{self.distance}")
-        for key in ("tl", "tm", "tn"):
-            val = getattr(self, key)
-            if val is not None:
-                parts.append(f"{key}{val}")
+        if self.tm is not None:
+            parts.append(f"tm{self.tm}")
         if self.trapezoid:
             parts.append("trap")
         if self.lane_mode:

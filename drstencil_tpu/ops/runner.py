@@ -43,10 +43,11 @@ _GOLD_CACHE: dict = {}
 
 
 def _gold_cache_get(spec, cfg):
-    """XLA gold programs keyed by (spec, step, dtype) — a tuning sweep
-    re-checks many configs against the same gold; compile it once."""
-    key = (spec.name, spec.dims, cfg.step, cfg.distance, cfg.merge_forward,
-           cfg.dtype)
+    """XLA gold programs keyed by the full operator (dims + taps + step +
+    dtype) — a tuning sweep re-checks many configs against the same gold;
+    compile it once.  Taps are part of the key: same-named specs with
+    edited coefficients must not share a gold."""
+    key = (spec.dims, tuple(spec.sorted_taps()), cfg.step, cfg.dtype)
     if key not in _GOLD_CACHE:
         _GOLD_CACHE[key] = StencilProgram(spec, cfg.replace_variant("xla"))
     return _GOLD_CACHE[key]
@@ -109,48 +110,6 @@ class StencilProgram:
             self._pair = jax.jit(pair, donate_argnums=(0, 1))
         else:
             raise ValueError(f"unknown variant {cfg.variant!r}")
-        self._scans = {}
-
-    def _scanned(self, pairs: int):
-        """One jitted program running ``pairs`` ping-pong pairs via
-        lax.scan — a single device launch for the whole timed loop, so
-        per-call host/relay dispatch overhead is paid once (the reference
-        pays a CUDA launch per step, codegen.hpp:580-589; fusing the loop
-        on-device is the TPU-native improvement)."""
-        if pairs in self._scans:
-            return self._scans[pairs]
-        core = self._pair_core
-
-        if self.geom is None:
-
-            def run(a, b):
-                def body(carry, _):
-                    return core(*carry), None
-                (a2, b2), _ = jax.lax.scan(body, (a, b), length=pairs)
-                return a2, b2
-
-        else:
-
-            def run(a, b, slabs_a, slabs_b):
-                def body(carry, _):
-                    a1, b1 = carry
-                    return core(a1, b1, slabs_a, slabs_b), None
-                (a2, b2), _ = jax.lax.scan(body, (a, b), length=pairs)
-                return a2, b2
-
-        fn = jax.jit(run, donate_argnums=(0, 1))
-        self._scans[pairs] = fn
-        return fn
-
-    def run_pairs_scanned(self, state, pairs: int):
-        fn = self._scanned(pairs)
-        if self.geom is None:
-            a, b = fn(state["a"], state["b"])
-        else:
-            a, b = fn(state["a"], state["b"], state["slabs_a"], state["slabs_b"])
-        state = dict(state)
-        state["a"], state["b"] = a, b
-        return state
 
     # -- state ----------------------------------------------------------
     def init_state(self, seed: int = 0, on_device: bool = False):
@@ -296,7 +255,7 @@ class StencilProgram:
         return RunResult(
             label=f"{self.spec.name}:{self.cfg.label()}",
             seconds_per_pair=sec_per_pair,
-            pairs=n1 + n2,
+            pairs=3 * (n1 + n2),  # three slope repetitions actually run
             warmup_pairs=warmup_pairs,
             gstencil_per_s=cells * steps / sec_per_pair / 1e9,
             achieved_gbps=2 * 2 * cells * self.dtype.itemsize / sec_per_pair / 1e9,
@@ -322,7 +281,6 @@ class StencilProgram:
 
         @jax.jit
         def maxdiff(x, y):
-            nd = x.ndim
             idx = tuple(slice(h, s - h) for s in x.shape)
             return jnp.max(jnp.abs(x[idx] - y[idx]))
 

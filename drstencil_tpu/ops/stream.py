@@ -114,6 +114,18 @@ def make_geometry(an: Analysis, cfg: KernelConfig) -> StreamGeometry:
     m = dims[1] if is3d else 1
     n = dims[-1]
     rows = int(np.prod(dims[:-1]))
+    # The frame width h is the fused axis-0 order (reference Halo
+    # semantics, drstencil.hpp:88-98).  For stencils wider on other axes
+    # than on axis 0 that would silently corrupt interior cells (frame
+    # slabs/padding too narrow) — reject loudly instead.
+    for a in range(1, len(dims)):
+        ra = max(abs(off[a]) for off in an.fused)
+        if ra > h:
+            raise ValueError(
+                f"axis-{a} radius {ra} of the fused stencil exceeds its "
+                f"axis-0 order {h}; asymmetric stencils wider off-axis "
+                "are not supported by the streaming kernel"
+            )
     hrow = h * m + h if is3d else h
     hk = _round_up(max(hrow, 1), 4)
     tm = cfg.tm or default_tm(dims, hk)
@@ -123,8 +135,6 @@ def make_geometry(an: Analysis, cfg: KernelConfig) -> StreamGeometry:
         raise ValueError(f"tm={tm} must exceed row halo {hrow}")
     # row padding below real rows: >= hrow, multiple of M for the view
     pr = _round_up(hrow, m if is3d else 4)
-    if is3d and pr < hrow:
-        pr += m
     n_strips = -(-(pr + rows) // tm)
     rows_padded = n_strips * tm + 2 * hk
     if is3d:

@@ -56,11 +56,16 @@ _DEFAULTS = {
 
 
 def best_config(name: str) -> KernelConfig:
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(KernelConfig)}
     try:
         with open(TUNED_PATH) as f:
             tuned = json.load(f)
         if name in tuned:
-            return KernelConfig(**tuned[name]["config"])
+            cfg = {k: v for k, v in tuned[name]["config"].items()
+                   if k in fields}
+            return KernelConfig(**cfg)
     except (OSError, json.JSONDecodeError, TypeError):
         pass
     return KernelConfig(**_DEFAULTS.get(name, {"variant": "stream"}))
