@@ -68,7 +68,9 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
     from drstencil_tpu.ir.passes import fuse, order_of
 
     is3d = spec.ndim == 3
-    steps = (1, 2, 3)
+    # trapezoid keeps per-step FLOPs flat while traffic/step falls as
+    # 1/step, so deep fusion keeps winning until compute- or VMEM-bound
+    steps = (1, 2, 3, 4, 6)
     seen = set()
     for step in steps:
         base_order = order_of(fuse(spec.taps, 1))
@@ -89,7 +91,14 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
         # haloed tile in VMEM, so distance is analysis-only metadata and
         # never changes the generated program — keep it at auto (0).
         lane_modes = (None,) if is3d else ("roll", "slice")
-        traps = (False,) if step == 1 else (False, True)
+        # coefficient fusion blows up taps ~quadratically — past step 3
+        # only the trapezoid is worth measuring
+        if step == 1:
+            traps = (False,)
+        elif step <= 3:
+            traps = (False, True)
+        else:
+            traps = (True,)
         for tm, lm, trap in itertools.product(tms, lane_modes, traps):
             cand = vmem_estimate(
                 spec, KernelConfig(variant="stream", step=step, tm=tm,
