@@ -72,12 +72,19 @@ def best_config(name: str) -> KernelConfig:
 
 
 def record_best(name: str, cfg: KernelConfig, score: dict) -> None:
+    """Record a measured best config — monotone: never replaces a stored
+    entry whose ms_per_step is better (a short sweep must not regress the
+    ledger of a longer earlier one)."""
     tuned = {}
     try:
         with open(TUNED_PATH) as f:
             tuned = json.load(f)
     except (OSError, json.JSONDecodeError):
         pass
+    old = tuned.get(name, {}).get("score", {}).get("ms_per_step")
+    new = score.get("ms_per_step")
+    if old is not None and new is not None and old <= new:
+        return
     from dataclasses import asdict
 
     tuned[name] = {"config": asdict(cfg), "score": score}

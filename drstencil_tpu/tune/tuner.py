@@ -115,6 +115,18 @@ class Tuner:
         cands = list(default_space(self.spec))
         rng = random.Random(self.seed)
         rng.shuffle(cands)  # uniform sampling under the time cap
+        # but measure the best-known config first — a short sweep must
+        # never do worse than the curated defaults / previous best
+        prior = tuned_mod.best_config(self.spec.name)
+        if prior.variant != "xla" and all(
+            c.cfg.label() != prior.label() for c in cands
+        ):
+            from drstencil_tpu.tune.space import vmem_estimate
+
+            pc = vmem_estimate(self.spec, prior)
+            if pc is not None:
+                cands.insert(0, pc)
+        cands.sort(key=lambda c: c.cfg.label() != prior.label())
         if max_configs:
             cands = cands[:max_configs]
 
