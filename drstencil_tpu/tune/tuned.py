@@ -1,10 +1,12 @@
 """Best-known kernel configs per benchmark stencil.
 
 The analogue of the reference's ``duration.log`` best-config tracking
-(tuning.py:93-115): the autotuner (tune.tuner) overwrites
-``benchmarks/tuned.json`` with the winning config per stencil; bench.py
-and users read it through :func:`best_config`.  Falls back to curated
-defaults when no tuning record exists.
+(tuning.py:93-115): the autotuner (tune.tuner) records the winning config
+per stencil into ``benchmarks/tuned.json`` (monotone — a short sweep
+never regresses it); bench.py and users read it through
+:func:`best_config`, falling back to curated defaults.
+``reconcile_from_ledgers`` rebuilds the file from every measurement in a
+tuning directory's ledgers (the authoritative argmin).
 """
 
 from __future__ import annotations
@@ -69,6 +71,39 @@ def best_config(name: str) -> KernelConfig:
     except (OSError, json.JSONDecodeError, TypeError):
         pass
     return KernelConfig(**_DEFAULTS.get(name, {"variant": "stream"}))
+
+
+def reconcile_from_ledgers(ledger_dir: str) -> dict:
+    """Rebuild tuned.json as the true argmin over every measurement ever
+    recorded in the per-stencil ledgers — the authoritative recovery path
+    if a short sweep ever wrote a worse entry."""
+    import glob
+
+    best: dict = {}
+    for path in glob.glob(os.path.join(ledger_dir, "*.ledger.json")):
+        name = os.path.basename(path)[: -len(".ledger.json")]
+        try:
+            with open(path) as f:
+                ledger = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for entry in ledger.values():
+            if entry.get("status") != "ok":
+                continue
+            ms = entry.get("ms_per_step")
+            if ms is None:
+                ms = entry.get("ms_per_pair", 1e18) / (
+                    2 * entry["config"].get("step", 1)
+                )
+            if name not in best or ms < best[name][0]:
+                best[name] = (ms, entry["config"])
+    for name, (ms, cfg) in best.items():
+        fields = {
+            k: v for k, v in cfg.items()
+            if k in {f.name for f in __import__("dataclasses").fields(KernelConfig)}
+        }
+        record_best(name, KernelConfig(**fields), {"ms_per_step": ms})
+    return {k: v[0] for k, v in best.items()}
 
 
 def record_best(name: str, cfg: KernelConfig, score: dict) -> None:

@@ -136,3 +136,27 @@ def test_session_driver(tmp_path, monkeypatch):
     assert res["t1"].best_cfg is not None
     assert os.path.exists(tmp_path / "out" / "tuning-time.log")
     assert os.path.exists(tmp_path / "out" / "gpuMetrics.csv")
+
+
+def test_reconcile_from_ledgers(tmp_path, monkeypatch):
+    from drstencil_tpu.tune import tuned as tuned_mod
+
+    monkeypatch.setattr(tuned_mod, "TUNED_PATH", str(tmp_path / "tuned.json"))
+    ledger = {
+        "cfg_a": {"status": "ok", "ms_per_step": 2.0,
+                  "config": {"variant": "stream", "step": 1, "tm": 64}},
+        "cfg_b": {"status": "ok", "ms_per_step": 1.0,
+                  "config": {"variant": "stream", "step": 2, "tm": 128}},
+        "cfg_c": {"status": "error", "config": {"variant": "stream"}},
+    }
+    with open(tmp_path / "t1.ledger.json", "w") as f:
+        json.dump(ledger, f)
+    best = tuned_mod.reconcile_from_ledgers(str(tmp_path))
+    assert best["t1"] == 1.0
+    cfg = tuned_mod.best_config("t1")
+    assert cfg.tm == 128 and cfg.step == 2
+
+    # a later worse record must not regress the stored best
+    from drstencil_tpu.ops.config import KernelConfig
+    tuned_mod.record_best("t1", KernelConfig(tm=64), {"ms_per_step": 5.0})
+    assert tuned_mod.best_config("t1").tm == 128
