@@ -48,13 +48,19 @@ class SweepResult:
 class Tuner:
     def __init__(self, spec: StencilSpec, out_dir: str,
                  time_budget_s: float = 3600.0, pairs: int = 10,
-                 check: bool = True, seed: int = 0):
+                 check: bool = True, seed: int = 0,
+                 config_timeout_s: float = 420.0):
         self.spec = spec
         self.out_dir = out_dir
         self.time_budget_s = time_budget_s
         self.pairs = pairs
         self.check = check
         self.seed = seed
+        # hard per-config cap: one pathological compile (wide fused
+        # operators can take many minutes in Mosaic) must not eat the
+        # whole sweep budget; SIGALRM works because sweeps run in the
+        # main thread
+        self.config_timeout_s = config_timeout_s
         os.makedirs(out_dir, exist_ok=True)
         self.ledger_path = os.path.join(out_dir, f"{spec.name}.ledger.json")
         self.metrics_path = os.path.join(out_dir, "metrics.csv")
@@ -83,6 +89,28 @@ class Tuner:
     def _log_best(self, elapsed: float, ms: float):
         with open(self.duration_path, "a") as f:
             f.write(f"{self.spec.name}: {elapsed:.0f} s, {ms:.4f} ms/step\n")
+
+    def _measure_with_timeout(self, cand: Candidate) -> dict:
+        import signal
+        import threading
+
+        if (self.config_timeout_s <= 0
+                or threading.current_thread() is not threading.main_thread()):
+            return self._measure(cand)
+
+        def on_alarm(signum, frame):
+            raise TimeoutError(
+                f"config exceeded {self.config_timeout_s:.0f}s (compile or "
+                "run); skipped"
+            )
+
+        old = signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(int(self.config_timeout_s))
+        try:
+            return self._measure(cand)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
 
     def _measure(self, cand: Candidate) -> dict:
         prog = StencilProgram(self.spec, cand.cfg)
@@ -149,7 +177,7 @@ class Tuner:
             tried += 1
             log(f"[{self.spec.name}] {i + 1}/{len(cands)}: {label}")
             try:
-                entry = self._measure(cand)
+                entry = self._measure_with_timeout(cand)
             except Exception as e:  # Mosaic/compile/VMEM errors: skip+log
                 entry = {
                     "config": asdict(cand.cfg),
