@@ -138,3 +138,30 @@ def test_trapezoid_close_to_fused():
     st = trap.run_pairs(trap.init_state(5), 1)
     np.testing.assert_allclose(
         trap.final_a(st), fused.final_a(sf), rtol=3e-5, atol=2e-3)
+
+
+def test_bfloat16_state():
+    """bf16 device buffers (fp32 compute) — looser tolerance."""
+    spec = small_spec("2d5pt_star", dims=(32, 256))
+    prog = StencilProgram(
+        spec, KernelConfig(variant="stream", tm=16, dtype="bfloat16",
+                           interpret=True))
+    max_err, rms = prog.check(seed=0, pairs=1)
+    # bf16 has an 8-bit mantissa: ~0.4% relative at values ~100
+    assert max_err < 2.0, f"max_err={max_err}"
+    assert rms < 0.5
+
+
+def test_asymmetric_wide_off_axis_rejected():
+    """Stencils wider off-axis than on axis 0 would silently corrupt the
+    interior (frame slabs too narrow) — must be rejected loudly."""
+    from drstencil_tpu.ir.spec import parse_stc
+
+    spec = parse_stc(
+        "M 32 N 256 iterations 2 stencil 0 0 0.4 0 2 0.2 0 -2 0.2 "
+        "1 0 0.1 -1 0 0.1",
+        name="wide_i",
+    )
+    with pytest.raises(ValueError, match="radius 2 .* exceeds"):
+        StencilProgram(spec, KernelConfig(variant="stream", tm=16,
+                                          interpret=True))
