@@ -48,6 +48,13 @@ class KernelConfig:
     # run kernels in the Pallas interpreter (for off-TPU tests)
     interpret: bool = False
 
+    @classmethod
+    def from_dict(cls, d: dict) -> "KernelConfig":
+        """Build from a (possibly legacy) dict, ignoring unknown keys —
+        ledgers/tuned.json may carry fields from older versions."""
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
     def replace(self, **kw) -> "KernelConfig":
         return dataclasses.replace(self, **kw)
 

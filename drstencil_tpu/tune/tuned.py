@@ -58,16 +58,11 @@ _DEFAULTS = {
 
 
 def best_config(name: str) -> KernelConfig:
-    import dataclasses
-
-    fields = {f.name for f in dataclasses.fields(KernelConfig)}
     try:
         with open(TUNED_PATH) as f:
             tuned = json.load(f)
         if name in tuned:
-            cfg = {k: v for k, v in tuned[name]["config"].items()
-                   if k in fields}
-            return KernelConfig(**cfg)
+            return KernelConfig.from_dict(tuned[name]["config"])
     except (OSError, json.JSONDecodeError, TypeError):
         pass
     return KernelConfig(**_DEFAULTS.get(name, {"variant": "stream"}))
@@ -98,11 +93,7 @@ def reconcile_from_ledgers(ledger_dir: str) -> dict:
             if name not in best or ms < best[name][0]:
                 best[name] = (ms, entry["config"])
     for name, (ms, cfg) in best.items():
-        fields = {
-            k: v for k, v in cfg.items()
-            if k in {f.name for f in __import__("dataclasses").fields(KernelConfig)}
-        }
-        record_best(name, KernelConfig(**fields), {"ms_per_step": ms})
+        record_best(name, KernelConfig.from_dict(cfg), {"ms_per_step": ms})
     return {k: v[0] for k, v in best.items()}
 
 

@@ -164,7 +164,7 @@ class Tuner:
             if entry.get("status") == "ok" and entry.get(
                     "ms_per_step", entry["ms_per_pair"]) < best_ms:
                 best_ms = entry.get("ms_per_step", entry["ms_per_pair"])
-                best_cfg = KernelConfig(**entry["config"])
+                best_cfg = KernelConfig.from_dict(entry["config"])
 
         tried = errors = 0
         for i, cand in enumerate(cands):
