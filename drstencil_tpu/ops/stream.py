@@ -276,19 +276,31 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
 
         def chunk_acc(src_ref, tap_list, off, base, cs):
             """Σ taps over chunk rows [base, base+cs) of the target level;
-            src rows are offset by `off`, each tap a static (row, lane)
-            slice (or roll) of the source."""
-            acc = None
+            src rows are offset by ``off``.
+
+            Taps are grouped by lane shift: each group's row-sum is
+            accumulated at full width first (row slices only), then lane-
+            shifted ONCE — one relayout per distinct shift instead of one
+            per tap (box stencils: 20 lane ops → 4).
+            """
+            groups: dict[int, list] = {}
             for d, s, coe in tap_list:
-                r0 = off + d + base
+                groups.setdefault(s, []).append((d, coe))
+            acc = None
+            for s in sorted(groups):
+                inner = None
+                for d, coe in groups[s]:
+                    r0 = off + d + base
+                    term = (
+                        jnp.asarray(coe, jnp.float32)
+                        * src_ref[r0 : r0 + cs, :].astype(jnp.float32)
+                    )
+                    inner = term if inner is None else inner + term
                 if pc:
-                    term = src_ref[r0 : r0 + cs, pc + s : pc + s + N]
-                else:
-                    term = src_ref[r0 : r0 + cs, :]
-                    if s:
-                        term = jnp.roll(term, -s, axis=1)
-                term = jnp.asarray(coe, jnp.float32) * term.astype(jnp.float32)
-                acc = term if acc is None else acc + term
+                    inner = inner[:, pc + s : pc + s + N]
+                elif s:
+                    inner = jnp.roll(inner, -s, axis=1)
+                acc = inner if acc is None else acc + inner
             return acc
 
         def write_ext(acc, base, cs):

@@ -240,27 +240,36 @@ if __name__ == "__main__":
     o << "from jax.experimental.pallas import tpu as pltpu\n";
 
     // helper: emit a chunked tap-sum expression reading `src` rows offset
-    // by `off`, chunk length symbol `cs`
+    // by `off`, chunk length symbol `cs`.  Taps are grouped by lane shift
+    // (one relayout per distinct shift, matching the library's
+    // accumulation order: groups sorted by s, taps by d within a group).
     auto emit_taps = [&](const std::map<std::pair<long, long>, double>& ts,
                          const char* srcname, long off, const char* cs) {
-        bool first = true;
-        for (const auto& [key, coe] : ts) {
-            const auto& [d, s] = key;
-            o << "            " << (first ? "  " : "+ ") << "(" << fmt_coe(coe)
-              << ") * ";
-            if (g.pc != 0) {
-                o << srcname << "[base+" << (off + d) << " : base+" << (off + d)
-                  << "+" << cs << ", " << (g.pc + s) << ":" << (g.pc + s + g.n)
-                  << "].astype(jnp.float32)\n";
-            } else if (s == 0) {
-                o << srcname << "[base+" << (off + d) << " : base+" << (off + d)
-                  << "+" << cs << ", :].astype(jnp.float32)\n";
-            } else {
-                o << "jnp.roll(" << srcname << "[base+" << (off + d)
-                  << " : base+" << (off + d) << "+" << cs << ", :], " << -s
-                  << ", axis=1).astype(jnp.float32)\n";
+        std::map<long, std::vector<std::pair<long, double>>> groups;
+        for (const auto& [key, coe] : ts)
+            groups[key.second].push_back({key.first, coe});
+        for (auto& [s, v] : groups)
+            std::sort(v.begin(), v.end());
+        bool gfirst = true;
+        for (const auto& [s, v] : groups) {
+            o << "            " << (gfirst ? "  " : "+ ");
+            if (g.pc == 0 && s != 0) o << "jnp.roll(";
+            o << "(\n";
+            bool first = true;
+            for (const auto& [d, coe] : v) {
+                o << "                " << (first ? "  " : "+ ") << "("
+                  << fmt_coe(coe) << ") * " << srcname << "[base+" << (off + d)
+                  << " : base+" << (off + d) << "+" << cs
+                  << ", :].astype(jnp.float32)\n";
+                first = false;
             }
-            first = false;
+            o << "            )";
+            if (g.pc != 0)
+                o << "[:, " << (g.pc + s) << ":" << (g.pc + s + g.n) << "]";
+            else if (s != 0)
+                o << ", " << -s << ", axis=1)";
+            o << "\n";
+            gfirst = false;
         }
     };
 
