@@ -11,7 +11,6 @@ import ctypes
 import json
 import os
 import subprocess
-from typing import Optional
 
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"

@@ -11,7 +11,7 @@ differential check against the fp64 NumPy golden model (the reference's
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax
