@@ -94,6 +94,9 @@ def parse_stc(text: str, name: str = "stencil") -> StencilSpec:
     Mirrors the reference token stream (drstencil.hpp:52-78) but with
     strict validation and error reporting.
     """
+    # strip '#' comments (extension over the reference grammar — its
+    # parser silently ignores unknown tokens; ours must not)
+    text = "\n".join(line.split("#", 1)[0] for line in text.splitlines())
     tokens = text.split()
     sizes: dict[str, int] = {}
     iterations = None

@@ -60,9 +60,18 @@ inline std::string suggest_key(const std::string& tok) {
 // Parse .stc text (same grammar as the reference parser,
 // drstencil.hpp:52-78, but unknown tokens and missing fields are errors —
 // the reference silently leaves e.g. a typo'd 'iterations' uninitialized).
-inline Spec parse_stc(const std::string& text, const std::string& name) {
+inline Spec parse_stc(const std::string& text_in, const std::string& name) {
     Spec spec;
     spec.name = name;
+    // strip '#' comments to end of line
+    std::string text;
+    text.reserve(text_in.size());
+    bool in_comment = false;
+    for (char c : text_in) {
+        if (c == '#') in_comment = true;
+        if (c == '\n') in_comment = false;
+        if (!in_comment) text += c;
+    }
     std::istringstream in(text);
     std::string tok;
     std::map<std::string, long> sizes;

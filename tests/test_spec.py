@@ -100,3 +100,12 @@ def test_radius():
     assert spec.radius() == (2, 2)
     spec3 = load_stc(os.path.join(BENCH_DIR, "3d7pt_star.stc"))
     assert spec3.radius() == (1, 1, 1)
+
+
+def test_comments_stripped():
+    spec = parse_stc(
+        "# a header comment\nM 8  # trailing\nN 8\niterations 1\n"
+        "stencil\n0 0 1.0  # center tap\n",
+        name="t",
+    )
+    assert spec.dims == (8, 8) and spec.taps[(0, 0)] == 1.0
