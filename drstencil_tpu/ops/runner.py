@@ -263,9 +263,12 @@ class StencilProgram:
 
     def device_check(self, seed: int = 0, pairs: int = 1) -> float:
         """On-device differential check vs the XLA reference variant at
-        full size; only the max-|diff| scalar crosses the wire.  The TPU
-        analogue of the reference's on-GPU gold kernel + checkError
-        (codegen.hpp:591-626), avoiding the ~3 MB/s D2H path."""
+        full size; only a scalar crosses the wire.  Returns the max
+        RELATIVE error (|diff| / max|gold|) — non-normalized operators
+        grow values by sum(coeffs) each timestep, so an absolute
+        tolerance would false-fail deep fusion.  The TPU analogue of the
+        reference's on-GPU gold kernel + checkError (codegen.hpp:591-626),
+        avoiding the ~3 MB/s D2H path."""
         if self.cfg.variant == "xla":
             raise ValueError("device_check compares against the xla variant")
         gold = _gold_cache_get(self.spec, self.cfg)
@@ -282,6 +285,9 @@ class StencilProgram:
         @jax.jit
         def maxdiff(x, y):
             idx = tuple(slice(h, s - h) for s in x.shape)
-            return jnp.max(jnp.abs(x[idx] - y[idx]))
+            xi = x[idx].astype(jnp.float32)
+            yi = y[idx].astype(jnp.float32)
+            scale = jnp.maximum(jnp.max(jnp.abs(yi)), 1.0)
+            return jnp.max(jnp.abs(xi - yi)) / scale
 
         return float(maxdiff(mine, s_gd["a"]))

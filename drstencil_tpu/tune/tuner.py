@@ -34,7 +34,9 @@ from drstencil_tpu.ops.runner import StencilProgram
 from drstencil_tpu.tune import tuned as tuned_mod
 from drstencil_tpu.tune.space import Candidate, default_space
 
-CHECK_TOL = 5e-3
+# relative tolerance vs the on-device XLA gold: fp32 roundoff across a
+# few hundred accumulated terms; bf16 states need a looser bound
+CHECK_TOL = 1e-3
 
 
 @dataclass
