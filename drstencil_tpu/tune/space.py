@@ -91,11 +91,17 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
         # haloed tile in VMEM, so distance is analysis-only metadata and
         # never changes the generated program — keep it at auto (0).
         lane_modes = (None,) if is3d else ("roll", "slice")
-        # coefficient fusion blows up taps ~quadratically — past step 3
-        # only the trapezoid is worth measuring
+        # coefficient fusion blows up taps ~quadratically — past step 3,
+        # or past ~64 fused taps (Mosaic compiles of huge unrolled tap
+        # sums run for many minutes and block even SIGALRM), only the
+        # trapezoid is worth measuring
+        try:
+            n_fused = len(fuse(spec.taps, step))
+        except Exception:
+            n_fused = 1 << 30
         if step == 1:
             traps = (False,)
-        elif step <= 3:
+        elif step <= 3 and n_fused <= 64:
             traps = (False, True)
         else:
             traps = (True,)
