@@ -28,6 +28,12 @@ def main(argv=None):
     ap.add_argument("--merge-forward", type=int, default=5)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--trapezoid", action="store_true",
+                    help="for --step > 1: apply the base stencil step "
+                    "times through VMEM scratch instead of coefficient "
+                    "fusion (FLOPs linear in step)")
+    ap.add_argument("--lane-mode", default="", choices=["", "slice", "roll"],
+                    help="lane-shift strategy (default: auto by lane width)")
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--gold", action="store_true")
     ap.add_argument("--dump-analysis", action="store_true")
@@ -50,6 +56,7 @@ def main(argv=None):
             text, name, step=args.step, distance=args.dist,
             merge_forward=args.merge_forward, tm=args.bx,
             check=args.check, gold_only=args.gold, dtype=args.dtype,
+            trapezoid=args.trapezoid, lane_mode=args.lane_mode,
         )
     except native_bridge.NativeError as e:
         print(str(e), file=sys.stderr)

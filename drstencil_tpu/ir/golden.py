@@ -35,6 +35,12 @@ def apply_interior(
     ``dst``'s values (the reference kernels never write boundary cells).
     """
     nd = src.ndim
+    for off in taps:
+        if any(abs(o) > halo for o in off):
+            raise ValueError(
+                f"tap offset {off} exceeds the interior margin halo={halo}; "
+                "the golden model requires every offset within the halo"
+            )
     out = dst.copy()
     interior = tuple(slice(halo, d - halo) for d in src.shape)
     acc = np.zeros(tuple(d - 2 * halo for d in src.shape), dtype=src.dtype)

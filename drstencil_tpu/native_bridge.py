@@ -25,13 +25,19 @@ class NativeError(RuntimeError):
 
 
 def build(force: bool = False) -> str:
-    """Build the native library (make -C native) if needed."""
-    if force or not os.path.exists(_LIB_PATH):
+    """Build the native library (make -C native); make is a fast no-op
+    when the .so is newer than the sources, so this always runs it —
+    a stale committed binary must never shadow edited sources."""
+    if force:
         subprocess.run(
-            ["make", "-C", _NATIVE_DIR, "libdrstencil.so"],
-            check=True,
+            ["make", "-C", _NATIVE_DIR, "clean"], check=True,
             capture_output=True,
         )
+    subprocess.run(
+        ["make", "-C", _NATIVE_DIR, "libdrstencil.so"],
+        check=True,
+        capture_output=True,
+    )
     return _LIB_PATH
 
 
@@ -50,11 +56,15 @@ def _get_lib():
             ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_char_p,
         ]
         lib.drs_free.restype = None
         lib.drs_free.argtypes = [ctypes.c_void_p]
-        if lib.drs_abi_version() != 1:
-            raise NativeError("libdrstencil ABI mismatch")
+        if lib.drs_abi_version() != 2:
+            raise NativeError(
+                "libdrstencil ABI mismatch (stale build?) — "
+                "run `make -C native clean libdrstencil.so`"
+            )
         _lib = lib
     return _lib
 
@@ -84,12 +94,14 @@ def analyze(stc_text: str, name: str = "stencil", step: int = 1,
 def emit(stc_text: str, name: str = "stencil", step: int = 1,
          distance: int = 0, merge_forward: int = 5, tm: int = 0,
          check: bool = False, gold_only: bool = False,
-         dtype: str = "float32") -> str:
+         dtype: str = "float32", trapezoid: bool = False,
+         lane_mode: str = "") -> str:
     """Emit a specialized Pallas program via the native emitter."""
     lib = _get_lib()
     ptr = lib.drs_emit(
         stc_text.encode(), name.encode(), step, distance, merge_forward,
         tm, int(check), int(gold_only), dtype.encode(),
+        int(trapezoid), (lane_mode or "").encode(),
     )
     out = _consume(lib, ptr)
     if out.startswith('{"error"'):

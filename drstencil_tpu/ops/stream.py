@@ -126,6 +126,13 @@ def make_geometry(an: Analysis, cfg: KernelConfig) -> StreamGeometry:
                 f"axis-0 order {h}; asymmetric stencils wider off-axis "
                 "are not supported by the streaming kernel"
             )
+    neg0 = -min(off[0] for off in an.fused)
+    if neg0 > h:
+        raise ValueError(
+            f"axis-0 negative extent {neg0} of the fused stencil exceeds "
+            f"its axis-0 order {h}; asymmetric stencils reaching further "
+            "backward than forward are not supported by the streaming kernel"
+        )
     hrow = h * m + h if is3d else h
     hk = _round_up(max(hrow, 1), 4)
     tm = cfg.tm or default_tm(dims, hk)

@@ -13,6 +13,24 @@ import json
 import os
 
 
+def _stencil_dims(name: str, entry: dict) -> tuple:
+    """Grid dims for a tuned entry: recorded score['dims'] if present,
+    else the benchmark .stc next to tuned.json, else the historical
+    benchmark-suite sizes as a last resort."""
+    dims = entry.get("score", {}).get("dims")
+    if dims:
+        return tuple(dims)
+    from drstencil_tpu.tune import tuned as tuned_mod
+
+    stc = os.path.join(os.path.dirname(tuned_mod.TUNED_PATH), f"{name}.stc")
+    try:
+        from drstencil_tpu.ir.spec import load_stc
+
+        return tuple(load_stc(stc).dims)
+    except Exception:
+        return (512, 512, 512) if name.startswith("3d") else (8192, 8192)
+
+
 def render(out_dir: str = "tuning", tuned_path: str | None = None) -> str:
     from drstencil_tpu.tune import tuned as tuned_mod
 
@@ -39,7 +57,7 @@ def render(out_dir: str = "tuning", tuned_path: str | None = None) -> str:
             n_err = len(ledger) - n_ok
         except (OSError, json.JSONDecodeError):
             pass
-        dims = (512, 512, 512) if name.startswith("3d") else (8192, 8192)
+        dims = _stencil_dims(name, tuned[name])
         cells = 1
         for d in dims:
             cells *= d
@@ -56,7 +74,7 @@ def render(out_dir: str = "tuning", tuned_path: str | None = None) -> str:
         ms = tuned[name]["score"].get("ms_per_step")
         if not ms:
             continue
-        dims = (512, 512, 512) if name.startswith("3d") else (8192, 8192)
+        dims = _stencil_dims(name, tuned[name])
         cells = 1
         for d in dims:
             cells *= d

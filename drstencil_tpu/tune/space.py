@@ -82,10 +82,6 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
             )
         else:
             tms = (64, 128, 256, 512, 1024)
-        dists = sorted(
-            {0}
-            | set(range(max(1, (step - 1) * base_order), step * base_order + 1))
-        )
         # NOTE: the reference also sweeps --dist, which shapes its
         # forward/backward split and shm Range; our kernel owns the whole
         # haloed tile in VMEM, so distance is analysis-only metadata and

@@ -163,9 +163,18 @@ class Tuner:
         best_ms, best_cfg = float("inf"), None
         # seed best from a previous (resumed) sweep
         for label, entry in self.ledger.items():
-            if entry.get("status") == "ok" and entry.get(
-                    "ms_per_step", entry["ms_per_pair"]) < best_ms:
-                best_ms = entry.get("ms_per_step", entry["ms_per_pair"])
+            if entry.get("status") != "ok":
+                continue
+            # legacy ledger entries lack ms_per_step; derive it the same
+            # way reconcile_from_ledgers does (per-pair time covers
+            # 2*step plain timesteps)
+            ms = entry.get("ms_per_step")
+            if ms is None:
+                ms = entry["ms_per_pair"] / (
+                    2 * entry["config"].get("step", 1)
+                )
+            if ms < best_ms:
+                best_ms = ms
                 best_cfg = KernelConfig.from_dict(entry["config"])
 
         tried = errors = 0
@@ -213,7 +222,7 @@ class Tuner:
         if best_cfg is not None:
             tuned_mod.record_best(
                 self.spec.name, best_cfg,
-                {"ms_per_step": best_ms},
+                {"ms_per_step": best_ms, "dims": list(self.spec.dims)},
             )
         return SweepResult(best_cfg=best_cfg, best_ms=best_ms,
                            tried=tried, errors=errors)

@@ -47,7 +47,7 @@ char* drs_analyze(const char* stc_text, const char* name, int step,
 // Emit a specialized Pallas program; returns malloc'd program text.
 char* drs_emit(const char* stc_text, const char* name, int step, int distance,
                int merge_forward, int tm, int check, int gold_only,
-               const char* dtype) {
+               const char* dtype, int trapezoid, const char* lane_mode) {
     try {
         drs::Spec spec = drs::parse_stc(stc_text, name ? name : "stencil");
         drs::Analysis an = drs::analyze(spec, step, distance, merge_forward);
@@ -56,6 +56,8 @@ char* drs_emit(const char* stc_text, const char* name, int step, int distance,
         cfg.check = check != 0;
         cfg.gold_only = gold_only != 0;
         if (dtype && *dtype) cfg.dtype = dtype;
+        cfg.trapezoid = trapezoid != 0;
+        if (lane_mode && *lane_mode) cfg.lane_mode = lane_mode;
         return dup_string(drs::emit_program(an, cfg, "(via libdrstencil)"));
     } catch (const std::exception& e) {
         return error_json(e.what());
@@ -64,6 +66,6 @@ char* drs_emit(const char* stc_text, const char* name, int step, int distance,
 
 void drs_free(char* p) { std::free(p); }
 
-int drs_abi_version() { return 1; }
+int drs_abi_version() { return 2; }
 
 }  // extern "C"

@@ -165,3 +165,23 @@ def test_asymmetric_wide_off_axis_rejected():
     with pytest.raises(ValueError, match="radius 2 .* exceeds"):
         StencilProgram(spec, KernelConfig(variant="stream", tm=16,
                                           interpret=True))
+
+def test_asymmetric_backward_axis0_rejected():
+    """Stencils reaching further backward than forward on the streaming
+    axis exceed the halo (= positive axis-0 order, reference semantics) —
+    both the kernel and the golden model must reject them loudly instead
+    of crashing with a broadcast-shape error."""
+    from drstencil_tpu.ir import golden
+    from drstencil_tpu.ir.spec import parse_stc
+
+    spec = parse_stc(
+        "M 32 N 256 iterations 2 stencil 0 0 0.4 -2 0 0.2 1 0 0.2 "
+        "0 1 0.1 0 -1 0.1",
+        name="backward_k",
+    )
+    with pytest.raises(ValueError, match="negative extent 2 .* exceeds"):
+        StencilProgram(spec, KernelConfig(variant="stream", tm=16,
+                                          interpret=True))
+    a, b = golden.random_state(spec, 0)
+    with pytest.raises(ValueError, match="exceeds the interior margin"):
+        golden.apply_interior(a, b, spec.taps, halo=1)
