@@ -34,6 +34,9 @@ def main(argv=None):
                     "fusion (FLOPs linear in step)")
     ap.add_argument("--lane-mode", default="", choices=["", "slice", "roll"],
                     help="lane-shift strategy (default: auto by lane width)")
+    ap.add_argument("--ch", type=int, default=0,
+                    help="accumulation chunk rows (must divide tile rows, "
+                    "multiple of 8; 0 = auto ~2MB temporaries)")
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--gold", action="store_true")
     ap.add_argument("--dump-analysis", action="store_true")
@@ -56,7 +59,7 @@ def main(argv=None):
             text, name, step=args.step, distance=args.dist,
             merge_forward=args.merge_forward, tm=args.bx,
             check=args.check, gold_only=args.gold, dtype=args.dtype,
-            trapezoid=args.trapezoid, lane_mode=args.lane_mode,
+            trapezoid=args.trapezoid, lane_mode=args.lane_mode, ch=args.ch,
         )
     except native_bridge.NativeError as e:
         print(str(e), file=sys.stderr)

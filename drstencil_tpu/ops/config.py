@@ -35,6 +35,9 @@ class KernelConfig:
     # rows per streaming strip (the tile-shape knob; reference --bx);
     # None = auto from the VMEM budget
     tm: Optional[int] = None
+    # accumulation chunk rows (must divide tm, multiple of 8);
+    # None = auto (~2 MB temporaries)
+    ch: Optional[int] = None
     # precision of device buffers
     dtype: str = "float32"
     # lane-shift strategy: "slice" (static slices into pad lanes),
@@ -69,6 +72,8 @@ class KernelConfig:
             parts.append(f"d{self.distance}")
         if self.tm is not None:
             parts.append(f"tm{self.tm}")
+        if self.ch is not None:
+            parts.append(f"ch{self.ch}")
         if self.trapezoid:
             parts.append("trap")
         if self.lane_mode:

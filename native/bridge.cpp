@@ -47,12 +47,14 @@ char* drs_analyze(const char* stc_text, const char* name, int step,
 // Emit a specialized Pallas program; returns malloc'd program text.
 char* drs_emit(const char* stc_text, const char* name, int step, int distance,
                int merge_forward, int tm, int check, int gold_only,
-               const char* dtype, int trapezoid, const char* lane_mode) {
+               const char* dtype, int trapezoid, const char* lane_mode,
+               int ch) {
     try {
         drs::Spec spec = drs::parse_stc(stc_text, name ? name : "stencil");
         drs::Analysis an = drs::analyze(spec, step, distance, merge_forward);
         drs::EmitConfig cfg;
         cfg.tm = tm;
+        cfg.ch = ch;
         cfg.check = check != 0;
         cfg.gold_only = gold_only != 0;
         if (dtype && *dtype) cfg.dtype = dtype;
@@ -66,6 +68,6 @@ char* drs_emit(const char* stc_text, const char* name, int step, int distance,
 
 void drs_free(char* p) { std::free(p); }
 
-int drs_abi_version() { return 2; }
+int drs_abi_version() { return 3; }
 
 }  // extern "C"

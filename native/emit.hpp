@@ -28,6 +28,7 @@ namespace drs {
 
 struct EmitConfig {
     int tm = 0;             // strip rows (0 = auto); reference --bx analogue
+    int ch = 0;             // accumulation chunk rows (0 = auto ~2MB)
     bool check = false;     // emit gold-check path (--check)
     bool gold_only = false; // emit a golden-model-only program (--gold)
     std::string dtype = "float32";
@@ -171,10 +172,16 @@ inline std::string emit_program(const Analysis& an, const EmitConfig& cfg,
     o << "HK = " << g.hk << "\nPR = " << g.pr << "\nTM = " << g.tm << "\n";
     o << "NSTRIPS = " << g.n_strips << "\nROWS_PADDED = " << g.rows_padded
       << "\n";
-    // chunked accumulation keeps Mosaic temporaries ~2MB (no spills)
+    // chunked accumulation keeps Mosaic temporaries ~2MB (no spills);
+    // sweepable via --ch (must divide tm, multiple of 8)
     long wb_ = g.n + 2 * g.pc;
-    long ch = std::max(8L, std::min(g.tm, (2L * 1024 * 1024 / 4 / std::max(wb_, 1L)) / 8 * 8));
-    while (g.tm % ch) ch -= 8;
+    long ch = cfg.ch;
+    if (ch <= 0) {
+        ch = std::max(8L, std::min(g.tm, (2L * 1024 * 1024 / 4 / std::max(wb_, 1L)) / 8 * 8));
+        while (g.tm % ch) ch -= 8;
+    } else if (g.tm % ch || ch % 8) {
+        throw StcError("--ch must divide tile rows and be a multiple of 8");
+    }
     o << "CH = " << ch << "   # accumulation chunk rows\n";
     o << "PC = " << g.pc << "    # junk lane padding (0 => lane rolls)\n";
     o << "WB = " << (g.n + 2 * g.pc) << "\nFR = " << g.fr << "\n";
@@ -239,37 +246,91 @@ if __name__ == "__main__":
     o << "from jax.experimental import pallas as pl\n";
     o << "from jax.experimental.pallas import tpu as pltpu\n";
 
-    // helper: emit a chunked tap-sum expression reading `src` rows offset
-    // by `off`, chunk length symbol `cs`.  Taps are grouped by lane shift
-    // (one relayout per distinct shift, matching the library's
-    // accumulation order: groups sorted by s, taps by d within a group).
-    auto emit_taps = [&](const std::map<std::pair<long, long>, double>& ts,
-                         const char* srcname, long off, const char* cs) {
-        std::map<long, std::vector<std::pair<long, double>>> groups;
-        for (const auto& [key, coe] : ts)
-            groups[key.second].push_back({key.first, coe});
-        for (auto& [s, v] : groups)
-            std::sort(v.begin(), v.end());
-        bool gfirst = true;
-        for (const auto& [s, v] : groups) {
-            o << "            " << (gfirst ? "  " : "+ ");
-            if (g.pc == 0 && s != 0) o << "jnp.roll(";
-            o << "(\n";
+    // helper: emit the algebraic-CSE tap application (the mirror of
+    // stream.plan_taps + chunk_acc — same grouping, same summation order,
+    // bit-identical output enforced by test_emitted_matches_library_runtime):
+    //   p<k> = pre-sum of rows sharing one coefficient vector
+    //   i<k> = one weighted combination per distinct coefficient column
+    //          (mirrored ±s columns share it)
+    //   acc  = Σ lane-shifted inners (one relayout per distinct shift)
+    // Reads `src` rows offset by `off`, chunk length symbol `cs`.
+    auto emit_plan = [&](const std::map<std::pair<long, long>, double>& ts,
+                         const char* srcname, long off, const char* cs,
+                         const char* ind) {
+        std::vector<long> ds, ss;
+        for (const auto& [key, coe] : ts) {
+            ds.push_back(key.first);
+            ss.push_back(key.second);
+        }
+        std::sort(ds.begin(), ds.end());
+        ds.erase(std::unique(ds.begin(), ds.end()), ds.end());
+        std::sort(ss.begin(), ss.end());
+        ss.erase(std::unique(ss.begin(), ss.end()), ss.end());
+        // row groups: rows sharing a coefficient vector, first-occurrence
+        // order == ascending first row shift (d ascends)
+        std::vector<std::pair<std::vector<double>, std::vector<long>>> rg;
+        for (long d : ds) {
+            std::vector<double> vec;
+            for (long s : ss) {
+                auto it = ts.find({d, s});
+                vec.push_back(it == ts.end() ? 0.0 : it->second);
+            }
+            bool found = false;
+            for (auto& [v, dl] : rg)
+                if (v == vec) { dl.push_back(d); found = true; break; }
+            if (!found) rg.push_back({vec, {d}});
+        }
+        // column groups: shifts sharing a coefficient column over the
+        // row-group pre-sums, first-occurrence order == ascending first s
+        std::vector<std::pair<std::vector<double>, std::vector<long>>> cg;
+        for (size_t si = 0; si < ss.size(); ++si) {
+            std::vector<double> cvec;
+            for (const auto& [v, dl] : rg) cvec.push_back(v[si]);
+            bool found = false;
+            for (auto& [v, sl] : cg)
+                if (v == cvec) { sl.push_back(ss[si]); found = true; break; }
+            if (!found) cg.push_back({cvec, {ss[si]}});
+        }
+        // pre-sums
+        for (size_t k = 0; k < rg.size(); ++k) {
+            o << ind << "p" << k << " = (\n";
             bool first = true;
-            for (const auto& [d, coe] : v) {
-                o << "                " << (first ? "  " : "+ ") << "("
-                  << fmt_coe(coe) << ") * " << srcname << "[base+" << (off + d)
-                  << " : base+" << (off + d) << "+" << cs
-                  << ", :].astype(jnp.float32)\n";
+            for (long d : rg[k].second) {
+                o << ind << "    " << (first ? "  " : "+ ") << srcname
+                  << "[base+" << (off + d) << " : base+" << (off + d) << "+"
+                  << cs << ", :].astype(jnp.float32)\n";
                 first = false;
             }
-            o << "            )";
-            if (g.pc != 0)
-                o << "[:, " << (g.pc + s) << ":" << (g.pc + s + g.n) << "]";
-            else if (s != 0)
-                o << ", " << -s << ", axis=1)";
-            o << "\n";
-            gfirst = false;
+            o << ind << ")\n";
+        }
+        // inner combinations
+        for (size_t k = 0; k < cg.size(); ++k) {
+            o << ind << "i" << k << " = (\n";
+            bool first = true;
+            for (size_t u = 0; u < rg.size(); ++u) {
+                double coe = cg[k].first[u];
+                if (coe == 0.0) continue;
+                o << ind << "    " << (first ? "  " : "+ ") << "("
+                  << fmt_coe(coe) << ") * p" << u << "\n";
+                first = false;
+            }
+            o << ind << ")\n";
+        }
+        // shifted accumulation
+        bool afirst = true;
+        for (size_t k = 0; k < cg.size(); ++k) {
+            for (long s : cg[k].second) {
+                o << ind << "acc = " << (afirst ? "" : "acc + ");
+                if (g.pc != 0)
+                    o << "i" << k << "[:, " << (g.pc + s) << ":"
+                      << (g.pc + s + g.n) << "]";
+                else if (s != 0)
+                    o << "jnp.roll(i" << k << ", " << -s << ", axis=1)";
+                else
+                    o << "i" << k;
+                o << "\n";
+                afirst = false;
+            }
         }
     };
 
@@ -278,9 +339,8 @@ if __name__ == "__main__":
         o << "    i = pl.program_id(0)\n";
         o << "    o_ref[0:HROW, PC : PC + N] = carry[...]\n";
         o << "\n    def chunk_acc(base):\n";
-        o << "        return (\n";
-        emit_taps(taps, "a_ref", g.hrow, "CH");
-        o << "        ).astype(jnp." << cfg.dtype << ")\n";
+        emit_plan(taps, "a_ref", g.hrow, "CH", "        ");
+        o << "        return acc.astype(jnp." << cfg.dtype << ")\n";
         o << R"PY(
     for base in range(0, TM, CH):
         acc = chunk_acc(base)
@@ -300,9 +360,8 @@ if __name__ == "__main__":
         o << "    i = pl.program_id(0)\n";
         o << "    o_ref[0:HROW, PC : PC + N] = carry[...]\n";
         o << "\n    def level_acc(src, base, cs):\n";
-        o << "        return (\n";
-        emit_taps(base_taps, "src", hr_b, "cs");
-        o << "        )\n";
+        emit_plan(base_taps, "src", hr_b, "cs", "        ");
+        o << "        return acc\n";
         // tail chunks need their own expressions per chunk size; emit a
         // generic python helper using dynamic slicing via static python
         // loop with exact sizes instead:

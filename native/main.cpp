@@ -49,6 +49,9 @@ Options:
 
 --lane-mode <m>         Lane-shift strategy: slice | roll (default: auto).
 
+--ch <rows>             Accumulation chunk rows (must divide tile rows,
+                        multiple of 8; default: auto ~2MB temporaries).
+
 --check                 Emit the fp64 golden check path (--check at runtime).
 
 --gold                  Emit a golden-model-only program.
@@ -91,6 +94,7 @@ int main(int argc, char** argv) {
         else if (a == "--dist") distance = std::atoi(need_val(i));
         else if (a == "--streaming") ecfg.streaming = true;
         else if (a == "--bx") ecfg.tm = std::atoi(need_val(i));
+        else if (a == "--ch") ecfg.ch = std::atoi(need_val(i));
         else if (a == "--by") ecfg.by = std::atoi(need_val(i));
         else if (a == "--sn") ecfg.sn = std::atoi(need_val(i));
         else if (a == "--stream-unroll") ecfg.stream_unroll = std::atoi(need_val(i));
