@@ -70,7 +70,7 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
     is3d = spec.ndim == 3
     # trapezoid keeps per-step FLOPs flat while traffic/step falls as
     # 1/step, so deep fusion keeps winning until compute- or VMEM-bound
-    steps = (1, 2, 3, 4, 6)
+    steps = (1, 2, 3, 4, 6, 8)
     seen = set()
     for step in steps:
         base_order = order_of(fuse(spec.taps, 1))
@@ -78,10 +78,14 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
             # tall layout: tm must exceed the fused row halo h*M + h
             hrow = step * base_order * spec.dims[1] + step * base_order
             tms = tuple(
-                -(-k * hrow // 8) * 8 for k in (2, 4, 8, 16)
+                -(-k * hrow // 8) * 8 for k in (2, 3, 4, 6, 8, 12, 16, 24)
             )
+            chs = (None, "tm/2", "tm/4")
         else:
-            tms = (64, 128, 256, 512, 1024)
+            tms = (64, 96, 128, 160, 256, 512)
+            # accumulation chunk: smaller chunks keep temporaries
+            # register-resident (measured best for wide stencils)
+            chs = (None, 8, 16)
         # NOTE: the reference also sweeps --dist, which shapes its
         # forward/backward split and shm Range; our kernel owns the whole
         # haloed tile in VMEM, so distance is analysis-only metadata and
@@ -101,10 +105,33 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
             traps = (False, True)
         else:
             traps = (True,)
-        for tm, lm, trap in itertools.product(tms, lane_modes, traps):
+        for tm, lm, trap, ch in itertools.product(tms, lane_modes, traps,
+                                                  chs):
+            if isinstance(ch, str):  # tm-derived: "tm/2", "tm/4"
+                ch = tm // int(ch.split("/")[1]) // 8 * 8
+                if ch < 8:
+                    continue
+            if ch is not None and tm % ch:
+                continue
             cand = vmem_estimate(
                 spec, KernelConfig(variant="stream", step=step, tm=tm,
-                                   lane_mode=lm, trapezoid=trap)
+                                   lane_mode=lm, trapezoid=trap, ch=ch)
+            )
+            if cand is None:
+                continue
+            key = cand.cfg.label()
+            if key in seen:
+                continue
+            seen.add(key)
+            yield cand
+        # bf16 state: halves HBM traffic and VMEM bytes per pass — worth
+        # a focused slab (full product would explode the space)
+        for tm, trap in itertools.product(tms[2:4] if not is3d else tms[:2],
+                                          traps):
+            cand = vmem_estimate(
+                spec, KernelConfig(variant="stream", step=step, tm=tm,
+                                   trapezoid=trap, dtype="bfloat16",
+                                   lane_mode=None if is3d else "roll")
             )
             if cand is None:
                 continue

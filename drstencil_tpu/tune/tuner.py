@@ -35,8 +35,11 @@ from drstencil_tpu.tune import tuned as tuned_mod
 from drstencil_tpu.tune.space import Candidate, default_space
 
 # relative tolerance vs the on-device XLA gold: fp32 roundoff across a
-# few hundred accumulated terms; bf16 states need a looser bound
-CHECK_TOL = 1e-3
+# few hundred accumulated terms.  bf16 states need a looser bound — the
+# XLA gold accumulates in bf16 while the stream kernel accumulates in
+# fp32 and rounds once per level, so they legitimately diverge by
+# ~taps·2^-8 per step.
+CHECK_TOL = {"float32": 1e-3, "bfloat16": 5e-2}
 
 
 @dataclass
@@ -81,10 +84,20 @@ class Tuner:
             json.dump(self.ledger, f, indent=1, sort_keys=True)
 
     def _append_metrics(self, row: dict):
-        exists = os.path.exists(self.metrics_path)
+        header = ",".join(row)
+        try:
+            with open(self.metrics_path) as f:
+                last_header = None
+                for line in f:
+                    if line.startswith("stencil,"):
+                        last_header = line.rstrip("\n")
+        except OSError:
+            last_header = None
         with open(self.metrics_path, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=list(row))
-            if not exists:
+            # append-log across versions: re-emit the header whenever the
+            # schema changed since the last header line
+            if last_header != header:
                 w.writeheader()
             w.writerow(row)
 
@@ -120,7 +133,7 @@ class Tuner:
         if self.check and cand.cfg.variant != "xla":
             diff = prog.device_check(pairs=1)
             entry["max_dev_diff"] = diff
-            if diff > CHECK_TOL:
+            if diff > CHECK_TOL.get(cand.cfg.dtype, 1e-3):
                 entry["status"] = "check_failed"
                 return entry
         res = prog.time(pairs=self.pairs)
@@ -137,6 +150,22 @@ class Tuner:
             roofline_frac=res.gstencil_per_s / tuned_mod.naive_sol_gstencil(
                 prog.dtype.itemsize),
         )
+        # modeled HBM traffic vs measured time — the honest `SOL DRAM`
+        # analogue (reference getGpuMetrics.py:9): modeled_gbps is the
+        # analytic per-apply traffic over the measured per-apply time;
+        # padding/refetch overheads show up as modeled_gbps > eff_gbps.
+        if cand.cfg.variant != "xla":
+            try:
+                from drstencil_tpu.utils.profiling import traffic_model
+
+                tmod = traffic_model(prog.an, cand.cfg)
+                sec_per_apply = res.seconds_per_pair / 2
+                gbps, frac = tmod.achieved(sec_per_apply,
+                                           tuned_mod.HBM_PEAK_GBPS)
+                entry["modeled_gbps"] = round(gbps, 1)
+                entry["modeled_hbm_frac"] = round(frac, 4)
+            except Exception:
+                pass
         return entry
 
     def sweep(self, max_configs: Optional[int] = None,
@@ -211,6 +240,8 @@ class Tuner:
                         "roofline_frac": round(entry["roofline_frac"], 4),
                         "vmem_bytes": cand.vmem_bytes,
                         "window": cand.window,
+                        "modeled_gbps": entry.get("modeled_gbps", ""),
+                        "modeled_hbm_frac": entry.get("modeled_hbm_frac", ""),
                         "max_dev_diff": entry.get("max_dev_diff", ""),
                     }
                 )
