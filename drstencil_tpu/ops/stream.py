@@ -254,12 +254,20 @@ def default_chunk(tm: int, wb: int) -> int:
     return ch
 
 
-def build_stream_kernel(an: Analysis, cfg: KernelConfig):
+def build_stream_kernel(an: Analysis, cfg: KernelConfig,
+                        row_frame: bool = True):
     """Build f(padded_src, dst_slabs) -> padded_dst applying the fused
     operator to the interior with dst's frozen frame composited in.
 
     Returns (f, geometry).  ``f`` is pure and jittable; dst is a fresh
     buffer (pair it with jit donation for in-place ping-pong).
+
+    ``row_frame=False`` builds the shard-local variant for the multi-chip
+    path (parallel/stream_shard.py): the low/high row frame is NOT frozen
+    in-kernel (interior shards must compute those rows from exchanged
+    halo; edge shards restore the global frame outside), the lo/hi slab
+    inputs are dropped, and ``dst_slabs`` is (face,) in 2D or
+    (face, jframe) in 3D.
     """
     g = make_geometry(an, cfg)
     h, hk, hc, tm = g.halo, g.hk, g.hrow, g.tm
@@ -321,7 +329,11 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
     if tm % ch or ch % 8:
         raise ValueError(f"ch={ch} must divide tm={tm} and be a multiple of 8")
 
-    def kernel(a_ref, lo_ref, hi_ref, face_ref, o_ref, carry, *scratch):
+    def kernel(a_ref, *refs):
+        if row_frame:
+            lo_ref, hi_ref, face_ref, o_ref, carry, *scratch = refs
+        else:
+            face_ref, o_ref, carry, *scratch = refs
         i = pl.program_id(0)
 
         # straddle carry: rows [0, hc) come from the previous strip's work
@@ -404,12 +416,13 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
         o_ref[:, pc + N - h : pc + N] = face_ref[:, h : 2 * h]
 
         # low/high row frame (statically placed strips)
-        for segs, slab in ((lo_segs, lo_ref), (hi_segs, hi_ref)):
-            for strip, loc, src, ln in segs:
+        if row_frame:
+            for segs, slab in ((lo_segs, lo_ref), (hi_segs, hi_ref)):
+                for strip, loc, src, ln in segs:
 
-                @pl.when(i == strip)
-                def _(loc=loc, src=src, ln=ln, slab=slab):
-                    o_ref[loc : loc + ln] = slab[src : src + ln]
+                    @pl.when(i == strip)
+                    def _(loc=loc, src=src, ln=ln, slab=slab):
+                        o_ref[loc : loc + ln] = slab[src : src + ln]
 
     def win_map(i):
         return (i * tm, 0)
@@ -425,13 +438,18 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
             (pl.Element(g.window), pl.Element(wb)), win_map,
             memory_space=pltpu.VMEM,
         ),
+    ]
+    if row_frame:
         # lo/hi row slabs: grid-invariant constant blocks.  (A shapeless
         # full-array spec hangs this Mosaic build; an explicit block with
         # a constant index map compiles fine.)
-        pl.BlockSpec((fr, wb), const_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((fr, wb), const_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tm, 2 * h), tile_map, memory_space=pltpu.VMEM),
-    ]
+        in_specs += [
+            pl.BlockSpec((fr, wb), const_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((fr, wb), const_map, memory_space=pltpu.VMEM),
+        ]
+    in_specs.append(
+        pl.BlockSpec((tm, 2 * h), tile_map, memory_space=pltpu.VMEM)
+    )
     out_spec = pl.BlockSpec((tm, wb), tile_map, memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
@@ -459,15 +477,22 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig):
     if len(g.dims) == 2:
 
         def f(src_padded, dst_slabs):
-            lo, hi, face = dst_slabs
-            return call(src_padded, lo, hi, face)
+            if row_frame:
+                lo, hi, face = dst_slabs
+                return call(src_padded, lo, hi, face)
+            (face,) = dst_slabs
+            return call(src_padded, face)
 
     else:
         planes = g.rows_padded // mid
 
         def f(src_padded, dst_slabs):
-            lo, hi, face, jframe = dst_slabs
-            out = call(src_padded, lo, hi, face)
+            if row_frame:
+                lo, hi, face, jframe = dst_slabs
+                out = call(src_padded, lo, hi, face)
+            else:
+                face, jframe = dst_slabs
+                out = call(src_padded, face)
             # strided j-frame fixup on a free plane-aligned reshape view:
             # touches 2h/M of the buffer, in place under donation
             v = out.reshape(planes, mid, wb)

@@ -106,3 +106,87 @@ def test_2d_mesh_3d_grid():
     want = golden.apply_interior(a0, b0, an.fused, an.halo)
     me, _ = golden.check_error(np.asarray(b), want, an.halo)
     assert me < 1e-9
+
+
+# ---- streaming Pallas kernel under shard_map (parallel/stream_shard) ----
+
+from drstencil_tpu.ops.config import KernelConfig
+from drstencil_tpu.parallel import stream_shard
+
+
+@pytest.mark.parametrize("name,cfg", [
+    ("2d5pt_star", KernelConfig(variant="stream", step=1, tm=16,
+                                interpret=True)),
+    ("2d9pt_box", KernelConfig(variant="stream", step=2, tm=16,
+                               trapezoid=True, interpret=True)),
+    ("2d25pt_box", KernelConfig(variant="stream", step=2, tm=16, ch=8,
+                                trapezoid=True, lane_mode="roll",
+                                interpret=True)),
+    ("3d7pt_star", KernelConfig(variant="stream", step=1, tm=56,
+                                interpret=True)),
+])
+def test_sharded_stream_matches_golden(name, cfg, cpu_mesh):
+    """The production Pallas kernel composed with ppermute halo exchange
+    must reproduce the fp64 golden model on the global problem — the
+    multi-chip path inherits the single-chip kernel (VERDICT round-1 #5)."""
+    dims = (16, 16, 256) if name.startswith("3d") else (64, 256)
+    spec = small_spec(name, dims=dims)
+    n = 4
+    pair, g, sharding = stream_shard.sharded_stream_pair(spec, cfg, cpu_mesh)
+
+    a0, b0 = golden.random_state(spec, seed=0, dtype=np.float64)
+    a0f, b0f = a0.astype(np.float32), b0.astype(np.float32)
+    sa = stream_shard.shard_state(a0f, g, n)
+    sb = stream_shard.shard_state(b0f, g, n)
+    a = jax.device_put(jnp.asarray(sa[0]), sharding)
+    b = jax.device_put(jnp.asarray(sb[0]), sharding)
+    slabs_a = tuple(jax.device_put(jnp.asarray(s), sharding) for s in sa[1:])
+    slabs_b = tuple(jax.device_put(jnp.asarray(s), sharding) for s in sb[1:])
+
+    pairs = 2
+    for _ in range(pairs):
+        a, b = pair(a, b, slabs_a, slabs_b)
+    got = stream_shard.unshard_state(np.asarray(a), g, n)
+
+    an = analyze(spec, step=cfg.step)
+    ga, gb = a0f.astype(np.float64), b0f.astype(np.float64)
+    for _ in range(pairs):
+        gb = golden.apply_interior(ga, gb, an.fused, an.halo)
+        ga = golden.apply_interior(gb, ga, an.fused, an.halo)
+    me, rms = golden.check_error(got, ga, an.halo)
+    # relative: unnormalized operators grow values every step
+    scale = max(1.0, float(np.max(np.abs(ga))))
+    assert me / scale < 3e-6, f"max_err={me} (scale {scale:.3g})"
+
+
+def test_sharded_stream_matches_single_chip(cpu_mesh):
+    """Bit-compatibility: the sharded kernel's interior must match the
+    single-chip kernel's output to fp32 roundoff on the same state."""
+    from drstencil_tpu.ops.runner import StencilProgram
+
+    spec = small_spec("2d9pt_star", dims=(64, 256))
+    cfg = KernelConfig(variant="stream", step=2, tm=16, trapezoid=True,
+                       interpret=True)
+    prog = StencilProgram(spec, cfg)
+    state = prog.init_state(3)
+    state = prog.run_pairs(state, 1)
+    single = prog.final_a(state)
+
+    n = 4
+    pair, g, sharding = stream_shard.sharded_stream_pair(spec, cfg, cpu_mesh)
+    a0, b0 = golden.random_state(spec, seed=3, dtype=np.float64)
+    sa = stream_shard.shard_state(a0.astype(np.float32), g, n)
+    sb = stream_shard.shard_state(b0.astype(np.float32), g, n)
+    a = jax.device_put(jnp.asarray(sa[0]), sharding)
+    b = jax.device_put(jnp.asarray(sb[0]), sharding)
+    slabs_a = tuple(jax.device_put(jnp.asarray(s), sharding) for s in sa[1:])
+    slabs_b = tuple(jax.device_put(jnp.asarray(s), sharding) for s in sb[1:])
+    a, b = pair(a, b, slabs_a, slabs_b)
+    got = stream_shard.unshard_state(np.asarray(a), g, n)
+
+    an = analyze(spec, step=2)
+    h = an.halo
+    inner = (slice(h, -h), slice(h, -h))
+    diff = np.max(np.abs(got[inner] - single[inner]))
+    scale = max(1.0, np.max(np.abs(single[inner])))
+    assert diff / scale < 1e-6, f"rel diff {diff / scale}"
