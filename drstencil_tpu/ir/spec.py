@@ -77,6 +77,15 @@ class StencilSpec:
             max(abs(off[a]) for off in self.taps) for a in range(self.ndim)
         )
 
+    def to_stc(self) -> str:
+        """Serialize back to .stc text (round-trips through parse_stc)."""
+        keys = ("L", "M", "N") if self.ndim == 3 else ("M", "N")
+        lines = [f"{k} {v}" for k, v in zip(keys, self.dims)]
+        lines += ["", f"iterations {self.iterations}", "", "stencil"]
+        for off, coe in self.sorted_taps():
+            lines.append(" ".join(str(x) for x in off) + f" {coe!r}")
+        return "\n".join(lines) + "\n"
+
 
 def _suggest(token: str) -> str:
     best, score = None, 0.0

@@ -24,27 +24,44 @@ ALL = [
 
 
 def aggregate_metrics(out_dir: str, dest: Optional[str] = None) -> str:
-    """Merge metrics.csv rows into the session-wide table."""
+    """Merge metrics.csv rows into the session-wide table.
+
+    metrics.csv is an append-log that re-emits its header on schema
+    change; aggregate under the union of all schemas seen."""
     dest = dest or os.path.join(out_dir, "gpuMetrics.csv")
     src = os.path.join(out_dir, "metrics.csv")
     rows: List[dict] = []
+    fields: List[str] = []
     if os.path.exists(src):
+        header = None
         with open(src) as f:
-            rows = list(csv.DictReader(f))
+            for rec in csv.reader(f):
+                if not rec:
+                    continue
+                if rec[0] == "stencil":
+                    header = rec
+                    for c in rec:
+                        if c not in fields:
+                            fields.append(c)
+                    continue
+                if header:
+                    rows.append(dict(zip(header, rec)))
     if rows:
         with open(dest, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0]))
+            w = csv.DictWriter(f, fieldnames=fields, restval="")
             w.writeheader()
             w.writerows(rows)
     return dest
 
 
 def run_session(bench_dir: str, out_dir: str, budget_per_stencil: float = 600.0,
-                max_configs: Optional[int] = None, stencils=None, log=print):
+                max_configs: Optional[int] = None, stencils=None, log=print,
+                trace: bool = False):
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     results = {}
-    for name in stencils or ALL:
+    names = list(stencils or ALL)
+    for name in names:
         spec = load_stc(os.path.join(bench_dir, name + ".stc"))
         tuner = Tuner(spec, out_dir, time_budget_s=budget_per_stencil)
         res = tuner.sweep(max_configs=max_configs, log=log)
@@ -53,9 +70,32 @@ def run_session(bench_dir: str, out_dir: str, budget_per_stencil: float = 600.0,
             f"{res.best_cfg.label() if res.best_cfg else 'none'} "
             f"{res.best_ms:.3f} ms/step")
     aggregate_metrics(out_dir)
+    if trace:
+        _session_trace(bench_dir, out_dir, names, log)
     with open(os.path.join(out_dir, "tuning-time.log"), "a") as f:
         f.write(f"session: {time.time() - t0:.0f} s\n")
     return results
+
+
+def _session_trace(bench_dir: str, out_dir: str, names, log) -> None:
+    """One jax.profiler trace per session around the first stencil's best
+    config (the ncu-timeline analogue, SURVEY §5 tracing) — soft-fail on
+    platforms without profiler support (the tunneled TPU relay)."""
+    from drstencil_tpu.utils.profiling import maybe_trace
+    from drstencil_tpu.ops.runner import StencilProgram
+    from drstencil_tpu.tune import tuned as tuned_mod
+
+    try:
+        spec = load_stc(os.path.join(bench_dir, names[0] + ".stc"))
+        cfg = tuned_mod.best_config(spec.name)
+        prog = StencilProgram(spec, cfg)
+        trace_dir = os.path.join(out_dir, "trace")
+        with maybe_trace(trace_dir) as active:
+            prog.time(pairs=2, warmup_pairs=1)
+        if active:
+            log(f"profiler trace written to {trace_dir}")
+    except Exception as e:  # soft-fail: tracing must never kill a session
+        log(f"session trace skipped: {str(e)[:200]}")
 
 
 def main(argv=None):
@@ -68,11 +108,14 @@ def main(argv=None):
     ap.add_argument("--max-configs", type=int, default=None)
     ap.add_argument("--stencils", default=None,
                     help="comma-separated subset")
+    ap.add_argument("--no-trace", action="store_true",
+                    help="skip the once-per-session jax.profiler trace")
     args = ap.parse_args(argv)
     run_session(
         args.bench_dir, args.out_dir, budget_per_stencil=args.budget,
         max_configs=args.max_configs,
         stencils=args.stencils.split(",") if args.stencils else None,
+        trace=not args.no_trace,
     )
 
 

@@ -245,6 +245,14 @@ class Tuner:
                         "max_dev_diff": entry.get("max_dev_diff", ""),
                     }
                 )
+                # 3D parity: the reference logs EVERY 3D config's duration
+                # (3d7pt_star/getGpuMetrics.py:25-30), not just bests
+                if self.spec.ndim == 3:
+                    with open(self.duration_path, "a") as f:
+                        f.write(
+                            f"{self.spec.name} [{label}]: "
+                            f"{entry['ms_per_step']:.4f} ms/step\n"
+                        )
                 if entry["ms_per_step"] < best_ms:
                     best_ms = entry["ms_per_step"]
                     best_cfg = cand.cfg
@@ -255,8 +263,37 @@ class Tuner:
                 self.spec.name, best_cfg,
                 {"ms_per_step": best_ms, "dims": list(self.spec.dims)},
             )
+            self._emit_artifact(best_cfg, log)
         return SweepResult(best_cfg=best_cfg, best_ms=best_ms,
                            tried=tried, errors=errors)
+
+    def _emit_artifact(self, cfg: KernelConfig, log=print) -> None:
+        """Persist the winning config's generated program under
+        ``out_dir/cu/<stencil>__<label>.py`` — the inspectable-artifact
+        property of the reference sweep (starter.sh:3-4 keeps
+        cu/<cfg>.cu per config; we keep the winner).  Soft-fail: artifact
+        emission must never kill a sweep."""
+        if cfg.variant != "stream":
+            return
+        try:
+            from drstencil_tpu import native_bridge
+
+            text = native_bridge.emit(
+                self.spec.to_stc(), self.spec.name, step=cfg.step,
+                distance=cfg.distance, merge_forward=cfg.merge_forward,
+                tm=cfg.tm or 0, check=True, dtype=cfg.dtype,
+                trapezoid=cfg.trapezoid, lane_mode=cfg.lane_mode or "",
+                ch=cfg.ch or 0,
+            )
+            cu_dir = os.path.join(self.out_dir, "cu")
+            os.makedirs(cu_dir, exist_ok=True)
+            path = os.path.join(
+                cu_dir, f"{self.spec.name}__{cfg.label()}.py"
+            )
+            with open(path, "w") as f:
+                f.write(text)
+        except Exception as e:
+            log(f"[{self.spec.name}] artifact emit skipped: {str(e)[:200]}")
 
 
 def main(argv=None):

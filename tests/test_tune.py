@@ -160,3 +160,55 @@ def test_reconcile_from_ledgers(tmp_path, monkeypatch):
     from drstencil_tpu.ops.config import KernelConfig
     tuned_mod.record_best("t1", KernelConfig(tm=64), {"ms_per_step": 5.0})
     assert tuned_mod.best_config("t1").tm == 128
+
+
+def test_winning_artifact_emitted(tmp_path, monkeypatch):
+    """The sweep persists the winning config's generated program under
+    out/cu/ (the reference's inspectable cu/<cfg>.cu artifacts,
+    starter.sh:3-4)."""
+    import drstencil_tpu.tune.tuner as tuner_mod
+    from drstencil_tpu.ir.spec import parse_stc
+    from drstencil_tpu.tune import tuned as tuned_mod
+
+    monkeypatch.setattr(tuned_mod, "TUNED_PATH", str(tmp_path / "tuned.json"))
+    spec = parse_stc(
+        "M 32\nN 256\niterations 4\nstencil\n0 0 0.5\n1 0 0.25\n-1 0 0.25\n",
+        "tiny",
+    )
+
+    class InterpretTuner(tuner_mod.Tuner):
+        def _measure(self, cand):
+            cand = type(cand)(cfg=cand.cfg.replace(interpret=True),
+                              vmem_bytes=cand.vmem_bytes,
+                              window=cand.window)
+            return super()._measure(cand)
+
+    t = InterpretTuner(spec, str(tmp_path / "out"), pairs=1, check=False)
+    res = t.sweep(max_configs=2, log=lambda *_: None)
+    assert res.best_cfg is not None
+    import glob
+    arts = glob.glob(str(tmp_path / "out" / "cu" / "tiny__*.py"))
+    assert len(arts) == 1, arts
+    text = open(arts[0]).read()
+    assert "pallas_call" in text and "golden_apply" in text
+
+
+def test_aggregate_metrics_mixed_headers(tmp_path):
+    """metrics.csv re-emits its header on schema change; aggregation
+    merges rows under the union of schemas."""
+    from drstencil_tpu.tune import session as session_mod
+
+    src = tmp_path / "metrics.csv"
+    src.write_text(
+        "stencil,config,ms_per_step\n"
+        "a,cfg1,1.5\n"
+        "stencil,config,ms_per_step,modeled_gbps\n"
+        "a,cfg2,1.2,400.5\n"
+    )
+    dest = session_mod.aggregate_metrics(str(tmp_path))
+    import csv as csv_mod
+    with open(dest) as f:
+        rows = list(csv_mod.DictReader(f))
+    assert len(rows) == 2
+    assert rows[0]["modeled_gbps"] == ""
+    assert rows[1]["modeled_gbps"] == "400.5"
