@@ -246,6 +246,11 @@ def plan_taps(tap_list):
     return [dl for _, dl in row_groups], col_groups
 
 
+# trapezoid depth at which intermediate levels compile via fori_loop
+# instead of full unrolling (mirrored by the native emitter)
+DEEP_LEVELS = 5
+
+
 def default_chunk(tm: int, wb: int) -> int:
     """Accumulation chunk rows: ~2 MB temporaries (no Mosaic spills)."""
     ch = max(8, min(tm, (2 * 1024 * 1024 // 4 // max(wb, 1)) // 8 * 8))
@@ -302,6 +307,12 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
         base_plan = plan_taps(base_taps)
         hr_b = hc // s_levels
         assert hr_b * s_levels == hc, "fused hrow must be step*base hrow"
+    # Deep trapezoids (step >= DEEP_LEVELS) fully unrolled blow up Mosaic
+    # (multi-minute compiles immune to SIGALRM, remote-compile 500s —
+    # round-1 2d25pt_box ledger).  Bound the text: intermediate levels
+    # become a fori_loop over constant-length chunks with pl.ds slices;
+    # only the final (output) level stays unrolled.
+    deep = s_levels >= DEEP_LEVELS
 
     # Static row-frame placement: strips and in-strip offsets covering the
     # low/high frame_rows real rows (padded rows [pr, pr+fr) and
@@ -351,12 +362,16 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
             # combinations beats both per-inner re-slicing and explicit
             # shared loads by 1.3-1.5x — shorter live ranges, fewer spills)
             row_groups, col_groups = plan
+            dyn = not isinstance(base, int)  # fori-loop body: pl.ds slices
             presums = []
             for dlist in row_groups:
                 t = None
                 for d in dlist:
                     r0 = off + d + base
-                    ld = src_ref[r0 : r0 + cs, :].astype(jnp.float32)
+                    if dyn:
+                        ld = src_ref[pl.ds(r0, cs), :].astype(jnp.float32)
+                    else:
+                        ld = src_ref[r0 : r0 + cs, :].astype(jnp.float32)
                     t = ld if t is None else t + ld
                 presums.append(t)
             acc = None
@@ -393,7 +408,7 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
             # coefficient-fused) tap set straight from the window
             for base in range(0, tm, ch):
                 write_ext(chunk_acc(a_ref, fused_plan, hc, base, ch), base, ch)
-        else:
+        elif not deep:
             # trapezoid: level t covers window rows shifted by t*hr_b,
             # length window - 2*t*hr_b; final level is the ext space
             src = a_ref
@@ -410,6 +425,35 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
                     for base in range(0, tm, ch):
                         acc = chunk_acc(src, base_plan, hr_b, base, ch)
                         write_ext(acc, base, ch)
+        else:
+            # deep trapezoid: every intermediate level computes the SAME
+            # constant length L = window - 2*hr_b (garbage propagates
+            # inward 2*hr_b/level, exactly tracking the shrinking valid
+            # pyramid — valid final rows never read an unwritten or
+            # polluted scratch row since hk >= step*hr_b), so one
+            # fori_loop body serves all full chunks of all levels;
+            # only the static tail chunk and the final level unroll.
+            L = g.window - 2 * hr_b
+            n_full, tail = divmod(L, ch)
+            src = a_ref
+            for t in range(1, s_levels):
+                dst = scratch[(t - 1) % len(scratch)]
+
+                def body(ci, carry_val, src=src, dst=dst):
+                    b = ci * ch
+                    acc = chunk_acc(src, base_plan, hr_b, b, ch)
+                    dst[pl.ds(b, ch), pc : pc + N] = acc
+                    return carry_val
+
+                jax.lax.fori_loop(0, n_full, body, 0)
+                if tail:
+                    b0 = n_full * ch
+                    acc = chunk_acc(src, base_plan, hr_b, b0, tail)
+                    dst[b0 : b0 + tail, pc : pc + N] = acc
+                src = dst
+            for base in range(0, tm, ch):
+                acc = chunk_acc(src, base_plan, hr_b, base, ch)
+                write_ext(acc, base, ch)
 
         # frozen lane frame (i-frame), every strip
         o_ref[:, pc : pc + h] = face_ref[:, 0:h]

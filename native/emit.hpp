@@ -256,7 +256,7 @@ if __name__ == "__main__":
     // Reads `src` rows offset by `off`, chunk length symbol `cs`.
     auto emit_plan = [&](const std::map<std::pair<long, long>, double>& ts,
                          const char* srcname, long off, const char* cs,
-                         const char* ind) {
+                         const char* ind, bool dyn = false) {
         std::vector<long> ds, ss;
         for (const auto& [key, coe] : ts) {
             ds.push_back(key.first);
@@ -291,14 +291,19 @@ if __name__ == "__main__":
                 if (v == cvec) { sl.push_back(ss[si]); found = true; break; }
             if (!found) cg.push_back({cvec, {ss[si]}});
         }
-        // pre-sums
+        // pre-sums (dyn: pl.ds slices — fori-loop bodies have traced base)
         for (size_t k = 0; k < rg.size(); ++k) {
             o << ind << "p" << k << " = (\n";
             bool first = true;
             for (long d : rg[k].second) {
-                o << ind << "    " << (first ? "  " : "+ ") << srcname
-                  << "[base+" << (off + d) << " : base+" << (off + d) << "+"
-                  << cs << ", :].astype(jnp.float32)\n";
+                o << ind << "    " << (first ? "  " : "+ ");
+                if (dyn)
+                    o << srcname << "[pl.ds(base+" << (off + d) << ", " << cs
+                      << "), :].astype(jnp.float32)\n";
+                else
+                    o << srcname << "[base+" << (off + d) << " : base+"
+                      << (off + d) << "+" << cs
+                      << ", :].astype(jnp.float32)\n";
                 first = false;
             }
             o << ind << ")\n";
@@ -353,6 +358,10 @@ if __name__ == "__main__":
 )PY";
     } else {
         long n_scratch = std::min<long>(an.step - 1, 2);
+        // deep trapezoids (step >= 5, mirroring stream.DEEP_LEVELS):
+        // intermediate levels via fori_loop over constant-length chunks
+        // (fully-unrolled deep levels blow up Mosaic)
+        const bool deep = an.step >= 5;
         o << "HRB = " << hr_b << "   # base-operator row halo per level\n";
         o << "NLEVELS = " << an.step << "\n";
         o << "NSCRATCH = " << n_scratch << "\n";
@@ -360,12 +369,12 @@ if __name__ == "__main__":
         o << "    i = pl.program_id(0)\n";
         o << "    o_ref[0:HROW, PC : PC + N] = carry[...]\n";
         o << "\n    def level_acc(src, base, cs):\n";
-        emit_plan(base_taps, "src", hr_b, "cs", "        ");
+        emit_plan(base_taps, "src", hr_b, "cs", "        ", deep);
         o << "        return acc\n";
-        // tail chunks need their own expressions per chunk size; emit a
-        // generic python helper using dynamic slicing via static python
-        // loop with exact sizes instead:
-        o << R"PY(
+        if (!deep) {
+            // tail chunks get their own expressions per exact chunk size
+            // via the static python loop
+            o << R"PY(
     src = a_ref
     win = TM + 2 * HK
     for t in range(1, NLEVELS + 1):
@@ -381,7 +390,7 @@ if __name__ == "__main__":
         else:
             for base in range(0, TM, CH):
                 acc = level_acc(src, base, CH).astype(jnp.)PY" << cfg.dtype
-          << R"PY()
+              << R"PY()
                 cut = min(max(TM - HROW - base, 0), CH)
                 if cut > 0:
                     o_ref[HROW + base : HROW + base + cut, PC : PC + N] = acc[0:cut]
@@ -389,6 +398,39 @@ if __name__ == "__main__":
                     lo = base + cut - (TM - HROW)
                     carry[lo : base + CH - (TM - HROW)] = acc[cut:CH]
 )PY";
+        } else {
+            // constant level length: garbage propagates inward 2*HRB per
+            // level, exactly tracking the shrinking valid pyramid
+            // (HK >= NLEVELS*HRB keeps final valid rows clean)
+            o << R"PY(
+    src = a_ref
+    win = TM + 2 * HK
+    L = win - 2 * HRB
+    NFULL, TAIL = divmod(L, CH)
+    for t in range(1, NLEVELS):
+        dst = lv[(t - 1) % NSCRATCH]
+
+        def body(ci, cv, src=src, dst=dst):
+            b = ci * CH
+            dst[pl.ds(b, CH), PC : PC + N] = level_acc(src, b, CH)
+            return cv
+
+        jax.lax.fori_loop(0, NFULL, body, 0)
+        if TAIL:
+            b0 = NFULL * CH
+            dst[b0 : b0 + TAIL, PC : PC + N] = level_acc(src, b0, TAIL)
+        src = dst
+    for base in range(0, TM, CH):
+        acc = level_acc(src, base, CH).astype(jnp.)PY" << cfg.dtype
+              << R"PY()
+        cut = min(max(TM - HROW - base, 0), CH)
+        if cut > 0:
+            o_ref[HROW + base : HROW + base + cut, PC : PC + N] = acc[0:cut]
+        if cut < CH:
+            lo = base + cut - (TM - HROW)
+            carry[lo : base + CH - (TM - HROW)] = acc[cut:CH]
+)PY";
+        }
     }
 
     // frozen lane frame

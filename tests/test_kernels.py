@@ -185,3 +185,34 @@ def test_asymmetric_backward_axis0_rejected():
     a, b = golden.random_state(spec, 0)
     with pytest.raises(ValueError, match="exceeds the interior margin"):
         golden.apply_interior(a, b, spec.taps, halo=1)
+
+
+def test_deep_trapezoid_matches_golden():
+    """step >= DEEP_LEVELS uses the fori_loop level form (bounded compile
+    text); must match the fp64 golden model like the unrolled form."""
+    import numpy as np
+    from drstencil_tpu.ir.spec import parse_stc
+    from drstencil_tpu.ir import golden
+    from drstencil_tpu.ir.passes import analyze
+    from drstencil_tpu.ops.config import KernelConfig
+    from drstencil_tpu.ops.runner import StencilProgram
+
+    stc = ("M 96\nN 256\niterations 4\nstencil\n"
+           "0 0 0.3\n1 0 0.2\n0 1 0.2\n-1 0 0.2\n0 -1 0.1\n")
+    spec = parse_stc(stc, "tiny_deep")
+    cfg = KernelConfig(variant="stream", step=6, tm=48, ch=8,
+                       trapezoid=True, interpret=True)
+    prog = StencilProgram(spec, cfg)
+    state = prog.init_state(5)
+    state = prog.run_pairs(state, 1)
+    got = prog.final_a(state)
+
+    a0, b0 = golden.random_state(spec, 5, dtype=np.float64)
+    a = a0.astype(np.float32).astype(np.float64)
+    b = b0.astype(np.float32).astype(np.float64)
+    an = analyze(spec, step=6)
+    b = golden.apply_interior(a, b, an.fused, an.halo)
+    a = golden.apply_interior(b, a, an.fused, an.halo)
+    me, _ = golden.check_error(got, a, an.halo)
+    scale = max(1.0, float(np.abs(a).max()))
+    assert me / scale < 1e-5, f"rel={me / scale}"

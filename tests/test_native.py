@@ -208,3 +208,45 @@ def test_emitted_trapezoid_check(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     rms = [l for l in r.stdout.splitlines() if "RMS Error" in l]
     assert rms and float(rms[0].split(":")[1]) < 1e-3, r.stdout
+
+
+def test_emitted_deep_trapezoid_matches_library(tmp_path):
+    """Deep-trapezoid (fori_loop) emitted programs stay bit-identical to
+    the library kernel, like the unrolled form."""
+    import jax
+    from drstencil_tpu.ops.config import KernelConfig
+    from drstencil_tpu.ops.runner import StencilProgram
+
+    spec = small_spec("2d5pt_star", dims=(96, 256))
+    cfg = KernelConfig(variant="stream", step=6, tm=48, ch=8,
+                       trapezoid=True, interpret=True)
+    prog = StencilProgram(spec, cfg)
+    state = prog.init_state(11)
+    state = prog.run_pairs(state, 1)
+    lib_out = prog.final_a(state)
+
+    text = native_bridge.emit(
+        "M 96\nN 256\niterations 4\nstencil\n" + FIVE_PT,
+        "tiny", step=6, tm=48, ch=8, trapezoid=True,
+    )
+    g = {"__name__": "gen"}
+    exec(compile(text, "gen.py", "exec"), g)
+    from drstencil_tpu.ir import golden as gold_mod
+    a0, b0 = gold_mod.random_state(spec, 11, dtype=np.float64)
+    a0, b0 = a0.astype(np.float32), b0.astype(np.float32)
+    call = g["build_call"](True)
+
+    def apply_fn(src, slabs):
+        lo, hi, *faces = slabs
+        return call(src, lo, hi, *faces)
+
+    a = g["pad_state"](a0)
+    b = g["pad_state"](b0)
+    sa = g["make_slabs"](a0)
+    sb = g["make_slabs"](b0)
+    b = apply_fn(jax.numpy.asarray(a), tuple(map(jax.numpy.asarray, sb)))
+    a = apply_fn(b, tuple(map(jax.numpy.asarray, sa)))
+    gen_out = np.asarray(a)[
+        g["PR"] : g["PR"] + 96, g["PC"] : g["PC"] + g["N"]
+    ]
+    np.testing.assert_array_equal(gen_out, lib_out.reshape(96, g["N"]))
