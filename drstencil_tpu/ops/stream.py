@@ -144,6 +144,12 @@ def make_geometry(an: Analysis, cfg: KernelConfig) -> StreamGeometry:
     pr = _round_up(hrow, m if is3d else 4)
     n_strips = -(-(pr + rows) // tm)
     rows_padded = n_strips * tm + 2 * hk
+    if is_deep(an, cfg):
+        # deep-trapezoid fori bodies load at dynamic row offsets, which
+        # Mosaic only allows at multiples of 8: loads start at the
+        # aligned floor and over-read up to 8 rows — give the window
+        # block (and thus the buffer) that slack
+        rows_padded += 8
     if is3d:
         rows_padded = _round_up(rows_padded, m)
     # lane padding: static slices when the pad is cheap, else rolls
@@ -251,6 +257,10 @@ def plan_taps(tap_list):
 DEEP_LEVELS = 5
 
 
+def is_deep(an: Analysis, cfg: KernelConfig) -> bool:
+    return bool(cfg.trapezoid) and an.step >= DEEP_LEVELS
+
+
 def default_chunk(tm: int, wb: int) -> int:
     """Accumulation chunk rows: ~2 MB temporaries (no Mosaic spills)."""
     ch = max(8, min(tm, (2 * 1024 * 1024 // 4 // max(wb, 1)) // 8 * 8))
@@ -312,7 +322,8 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
     # round-1 2d25pt_box ledger).  Bound the text: intermediate levels
     # become a fori_loop over constant-length chunks with pl.ds slices;
     # only the final (output) level stays unrolled.
-    deep = s_levels >= DEEP_LEVELS
+    deep = is_deep(an, cfg)
+    wslack = 8 if deep else 0  # aligned over-read slack (see make_geometry)
 
     # Static row-frame placement: strips and in-strip offsets covering the
     # low/high frame_rows real rows (padded rows [pr, pr+fr) and
@@ -363,13 +374,29 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
             # shared loads by 1.3-1.5x — shorter live ranges, fewer spills)
             row_groups, col_groups = plan
             dyn = not isinstance(base, int)  # fori-loop body: pl.ds slices
+            if dyn:
+                # Mosaic requires dynamic sublane offsets provably mod-8:
+                # ``base`` is (ch multiple of 8, so is ci*ch), but the
+                # static tap offset is not — load ONCE per aligned floor
+                # (over-reading <= 8 slack rows, reserved in the window)
+                # and slice the static remainder from the value.
+                floors = {}
+                for dlist in row_groups:
+                    for d in dlist:
+                        f = (off + d) // 8 * 8
+                        if f not in floors:
+                            floors[f] = src_ref[
+                                pl.ds(base + f, cs + 8), :
+                            ].astype(jnp.float32)
             presums = []
             for dlist in row_groups:
                 t = None
                 for d in dlist:
                     r0 = off + d + base
                     if dyn:
-                        ld = src_ref[pl.ds(r0, cs), :].astype(jnp.float32)
+                        f = (off + d) // 8 * 8
+                        rem = off + d - f
+                        ld = floors[f][rem : rem + cs]
                     else:
                         ld = src_ref[r0 : r0 + cs, :].astype(jnp.float32)
                     t = ld if t is None else t + ld
@@ -479,7 +506,7 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
 
     in_specs = [
         pl.BlockSpec(
-            (pl.Element(g.window), pl.Element(wb)), win_map,
+            (pl.Element(g.window + wslack), pl.Element(wb)), win_map,
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -504,7 +531,7 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
         out_shape=jax.ShapeDtypeStruct((g.rows_padded, wb), dtype),
         scratch_shapes=[pltpu.VMEM((hc, N), dtype)]
         + [
-            pltpu.VMEM((g.window, wb), jnp.float32)
+            pltpu.VMEM((g.window + wslack, wb), jnp.float32)
             for _ in range(min(s_levels - 1, 2))
         ],
         compiler_params=pltpu.CompilerParams(

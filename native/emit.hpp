@@ -63,7 +63,8 @@ inline std::string dims_tuple(const std::vector<long>& d) {
 
 // Tall-layout geometry, mirroring stream.make_geometry.
 struct EmitGeom {
-    long rows, n, mid, hrow, hk, pr, tm, n_strips, rows_padded, pc, fr;
+    long rows, n, mid, hrow, hk, pr, tm, n_strips, rows_padded, pc, fr,
+        wslack;
 };
 
 inline EmitGeom make_geom(const Analysis& an, const EmitConfig& cfg) {
@@ -94,6 +95,10 @@ inline EmitGeom make_geom(const Analysis& an, const EmitConfig& cfg) {
     g.pr = round_up(g.hrow, is3d ? g.mid : 4);
     g.n_strips = (g.pr + g.rows + g.tm - 1) / g.tm;
     g.rows_padded = g.n_strips * g.tm + 2 * g.hk;
+    // deep-trapezoid fori bodies over-read up to 8 aligned slack rows
+    // (mirrors stream.make_geometry / is_deep)
+    g.wslack = (cfg.trapezoid && an.step >= 5) ? 8 : 0;
+    g.rows_padded += g.wslack;
     if (is3d) g.rows_padded = round_up(g.rows_padded, g.mid);
     const bool slice_mode =
         cfg.lane_mode == "slice" || (cfg.lane_mode.empty() && g.n >= 2048);
@@ -183,6 +188,8 @@ inline std::string emit_program(const Analysis& an, const EmitConfig& cfg,
         throw StcError("--ch must divide tile rows and be a multiple of 8");
     }
     o << "CH = " << ch << "   # accumulation chunk rows\n";
+    o << "WSLACK = " << g.wslack
+      << "   # deep-trapezoid aligned over-read slack rows\n";
     o << "PC = " << g.pc << "    # junk lane padding (0 => lane rolls)\n";
     o << "WB = " << (g.n + 2 * g.pc) << "\nFR = " << g.fr << "\n";
     o << "FLAT3D = " << (is3d ? "True" : "False") << "\n";
@@ -291,19 +298,38 @@ if __name__ == "__main__":
                 if (v == cvec) { sl.push_back(ss[si]); found = true; break; }
             if (!found) cg.push_back({cvec, {ss[si]}});
         }
-        // pre-sums (dyn: pl.ds slices — fori-loop bodies have traced base)
+        // dyn (fori-loop bodies, traced base): Mosaic needs dynamic
+        // sublane offsets provably mod-8 — one aligned pl.ds load per
+        // distinct 8-floor (over-reading <= 8 slack rows), static
+        // remainder sliced from the value (mirrors stream.chunk_acc)
+        if (dyn) {
+            std::vector<long> floors;
+            for (long d : ds) {
+                long f = (off + d) / 8 * 8;
+                if (std::find(floors.begin(), floors.end(), f) ==
+                    floors.end()) {
+                    floors.push_back(f);
+                    o << ind << "ldf" << f << " = " << srcname
+                      << "[pl.ds(base + " << f << ", " << cs
+                      << " + 8), :].astype(jnp.float32)\n";
+                }
+            }
+        }
+        // pre-sums
         for (size_t k = 0; k < rg.size(); ++k) {
             o << ind << "p" << k << " = (\n";
             bool first = true;
             for (long d : rg[k].second) {
                 o << ind << "    " << (first ? "  " : "+ ");
-                if (dyn)
-                    o << srcname << "[pl.ds(base+" << (off + d) << ", " << cs
-                      << "), :].astype(jnp.float32)\n";
-                else
+                if (dyn) {
+                    long f = (off + d) / 8 * 8, rem = off + d - f;
+                    o << "ldf" << f << "[" << rem << " : " << rem << "+"
+                      << cs << "]\n";
+                } else {
                     o << srcname << "[base+" << (off + d) << " : base+"
                       << (off + d) << "+" << cs
                       << ", :].astype(jnp.float32)\n";
+                }
                 first = false;
             }
             o << ind << ")\n";
@@ -457,8 +483,8 @@ def build_call(interpret):
     tile_map = lambda i: (i, 0)
     const_map = lambda i: (0, 0)
     in_specs = [
-        pl.BlockSpec((pl.Element(TM + 2 * HK), pl.Element(WB)), win_map,
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pl.Element(TM + 2 * HK + WSLACK), pl.Element(WB)),
+                     win_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((FR, WB), const_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((FR, WB), const_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((TM, 2 * H), tile_map, memory_space=pltpu.VMEM),
@@ -471,7 +497,7 @@ def build_call(interpret):
         out_specs=pl.BlockSpec((TM, WB), tile_map, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ROWS_PADDED, WB), dt),
         scratch_shapes=[pltpu.VMEM((HROW, N), dt)] + [
-            pltpu.VMEM((TM + 2 * HK, WB), jnp.float32)
+            pltpu.VMEM((TM + 2 * HK + WSLACK, WB), jnp.float32)
             for _ in range(globals().get("NSCRATCH", 0))
         ],
         compiler_params=pltpu.CompilerParams(
