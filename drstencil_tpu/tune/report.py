@@ -62,8 +62,11 @@ def render(out_dir: str = "tuning", tuned_path: str | None = None) -> str:
         for d in dims:
             cells *= d
         if ms:
+            import numpy as np
+
             gst = cells / (ms * 1e-3) / 1e9
-            frac = gst / tuned_mod.naive_sol_gstencil()
+            frac = gst / tuned_mod.naive_sol_gstencil(
+                np.dtype(cfg.dtype).itemsize)
             lines.append(
                 f"| {name} | {cfg.label()} | {ms:.4f} | {gst:.1f} "
                 f"| {frac:.2f} | {n_ok}/{n_err} |"
@@ -71,14 +74,18 @@ def render(out_dir: str = "tuning", tuned_path: str | None = None) -> str:
     geo = 1.0
     count = 0
     for name in tuned:
+        import numpy as np
+
         ms = tuned[name]["score"].get("ms_per_step")
         if not ms:
             continue
+        cfg = tuned_mod.KernelConfig.from_dict(tuned[name]["config"])
         dims = _stencil_dims(name, tuned[name])
         cells = 1
         for d in dims:
             cells *= d
-        geo *= (cells / (ms * 1e-3) / 1e9) / tuned_mod.naive_sol_gstencil()
+        geo *= (cells / (ms * 1e-3) / 1e9) / tuned_mod.naive_sol_gstencil(
+            np.dtype(cfg.dtype).itemsize)
         count += 1
     if count:
         lines.append(f"\ngeomean vs naive roofline: "
