@@ -26,6 +26,20 @@ def naive_sol_gstencil(itemsize: int = 4) -> float:
     fusion legitimately exceeds 1.0 of this — the point of DRStencil."""
     return HBM_PEAK_GBPS / (2 * itemsize)
 
+
+def objective_ms(ms_per_step: float, dtype: str = "float32") -> float:
+    """SoL-normalized objective: fp32-equivalent ms per timestep.
+
+    The headline metric is GStencil/s over the naive SoL *of the config's
+    own dtype* — bf16's denominator is 2x fp32's, so a bf16 config must
+    be 2x faster in raw ms to score the same roofline fraction.  Raw
+    ms_per_step would let a merely-faster bf16 config displace a
+    better-scoring fp32 one; minimize this instead (identical to raw ms
+    for fp32, so historical ledgers/tuned entries compare unchanged)."""
+    import numpy as np
+
+    return ms_per_step * 4.0 / np.dtype(dtype).itemsize
+
 TUNED_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "benchmarks",
@@ -90,27 +104,32 @@ def reconcile_from_ledgers(ledger_dir: str) -> dict:
                 ms = entry.get("ms_per_pair", 1e18) / (
                     2 * entry["config"].get("step", 1)
                 )
-            if name not in best or ms < best[name][0]:
-                best[name] = (ms, entry["config"])
-    for name, (ms, cfg) in best.items():
+            obj = objective_ms(ms, entry["config"].get("dtype", "float32"))
+            if name not in best or obj < best[name][0]:
+                best[name] = (obj, ms, entry["config"])
+    for name, (obj, ms, cfg) in best.items():
         record_best(name, KernelConfig.from_dict(cfg), {"ms_per_step": ms})
-    return {k: v[0] for k, v in best.items()}
+    return {k: v[1] for k, v in best.items()}
 
 
 def record_best(name: str, cfg: KernelConfig, score: dict) -> None:
     """Record a measured best config — monotone: never replaces a stored
-    entry whose ms_per_step is better (a short sweep must not regress the
-    ledger of a longer earlier one)."""
+    entry whose SoL-normalized objective is better (a short sweep must
+    not regress the ledger of a longer earlier one)."""
     tuned = {}
     try:
         with open(TUNED_PATH) as f:
             tuned = json.load(f)
     except (OSError, json.JSONDecodeError):
         pass
-    old = tuned.get(name, {}).get("score", {}).get("ms_per_step")
+    entry = tuned.get(name, {})
+    old = entry.get("score", {}).get("ms_per_step")
     new = score.get("ms_per_step")
-    if old is not None and new is not None and old <= new:
-        return
+    if old is not None and new is not None:
+        old_obj = objective_ms(
+            old, entry.get("config", {}).get("dtype", "float32"))
+        if old_obj <= objective_ms(new, cfg.dtype):
+            return
     from dataclasses import asdict
 
     tuned[name] = {"config": asdict(cfg), "score": score}

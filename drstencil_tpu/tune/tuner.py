@@ -189,7 +189,10 @@ class Tuner:
         if max_configs:
             cands = cands[:max_configs]
 
-        best_ms, best_cfg = float("inf"), None
+        # best tracking minimizes the SoL-normalized objective (raw ms for
+        # fp32; bf16 must be 2x faster to displace an fp32 config — the
+        # headline roofline fraction divides by the dtype's own SoL)
+        best_obj, best_ms, best_cfg = float("inf"), float("inf"), None
         # seed best from a previous (resumed) sweep
         for label, entry in self.ledger.items():
             if entry.get("status") != "ok":
@@ -202,7 +205,10 @@ class Tuner:
                 ms = entry["ms_per_pair"] / (
                     2 * entry["config"].get("step", 1)
                 )
-            if ms < best_ms:
+            obj = tuned_mod.objective_ms(
+                ms, entry["config"].get("dtype", "float32"))
+            if obj < best_obj:
+                best_obj = obj
                 best_ms = ms
                 best_cfg = KernelConfig.from_dict(entry["config"])
 
@@ -253,7 +259,10 @@ class Tuner:
                             f"{self.spec.name} [{label}]: "
                             f"{entry['ms_per_step']:.4f} ms/step\n"
                         )
-                if entry["ms_per_step"] < best_ms:
+                obj = tuned_mod.objective_ms(
+                    entry["ms_per_step"], cand.cfg.dtype)
+                if obj < best_obj:
+                    best_obj = obj
                     best_ms = entry["ms_per_step"]
                     best_cfg = cand.cfg
                     self._log_best(time.time() - start, best_ms)

@@ -212,3 +212,21 @@ def test_aggregate_metrics_mixed_headers(tmp_path):
     assert len(rows) == 2
     assert rows[0]["modeled_gbps"] == ""
     assert rows[1]["modeled_gbps"] == "400.5"
+
+
+def test_objective_normalizes_dtype(tmp_path, monkeypatch):
+    """A faster-in-raw-ms bf16 entry must NOT displace an fp32 entry
+    whose roofline fraction is better (the bf16 naive SoL is 2x)."""
+    from drstencil_tpu.ops.config import KernelConfig
+    from drstencil_tpu.tune import tuned as tuned_mod
+
+    monkeypatch.setattr(tuned_mod, "TUNED_PATH", str(tmp_path / "tuned.json"))
+    fp32 = KernelConfig(variant="stream", step=2, tm=128)
+    bf16 = KernelConfig(variant="stream", step=2, tm=128, dtype="bfloat16")
+    tuned_mod.record_best("s", fp32, {"ms_per_step": 1.0})
+    # bf16 at 0.7 ms: raw-faster but normalized 1.4 > 1.0 — rejected
+    tuned_mod.record_best("s", bf16, {"ms_per_step": 0.7})
+    assert tuned_mod.best_config("s").dtype == "float32"
+    # bf16 at 0.4 ms: normalized 0.8 < 1.0 — accepted
+    tuned_mod.record_best("s", bf16, {"ms_per_step": 0.4})
+    assert tuned_mod.best_config("s").dtype == "bfloat16"
