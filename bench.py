@@ -21,6 +21,9 @@ BASELINE.md documents the empty published set).
 Env knobs:
   BENCH_STENCILS=name1,name2   subset (default: all 8)
   BENCH_PAIRS=N                timed pairs (default 12)
+  BENCH_REPEATS=N              timing repetitions per stencil, best-of
+                               (default 2; compile is cached, repeats are
+                               cheap and damp relay run-to-run drift)
   BENCH_CHECK=1                also run on-device differential checks
 """
 
@@ -54,6 +57,7 @@ def main():
     names = os.environ.get("BENCH_STENCILS")
     names = names.split(",") if names else ALL
     pairs = int(os.environ.get("BENCH_PAIRS", "12"))
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     do_check = os.environ.get("BENCH_CHECK", "0") == "1"
 
     fracs = []
@@ -64,6 +68,10 @@ def main():
         try:
             prog = StencilProgram(spec, cfg)
             res = prog.time(pairs=pairs)
+            for _ in range(repeats - 1):  # best-of: damp relay drift
+                r2 = prog.time(pairs=pairs)
+                if r2.seconds_per_pair < res.seconds_per_pair:
+                    res = r2
         except Exception as e:  # a bad tuned config must not kill the bench
             detail[name] = {"cfg": cfg.label(), "error": str(e)[:300]}
             fracs.append(1e-6)
