@@ -190,3 +190,32 @@ def test_sharded_stream_matches_single_chip(cpu_mesh):
     diff = np.max(np.abs(got[inner] - single[inner]))
     scale = max(1.0, np.max(np.abs(single[inner])))
     assert diff / scale < 1e-6, f"rel diff {diff / scale}"
+
+
+def test_sharded_stream_3d_trapezoid(cpu_mesh):
+    """3D + trapezoid under shard_map: j-frame fixup, straddle carry, and
+    level scratch all compose with the halo exchange."""
+    spec = small_spec("3d7pt_star", dims=(16, 16, 256))
+    cfg = KernelConfig(variant="stream", step=2, tm=72, trapezoid=True,
+                       interpret=True)
+    n = 4
+    pair, g, sharding = stream_shard.sharded_stream_pair(spec, cfg, cpu_mesh)
+
+    a0, b0 = golden.random_state(spec, seed=4, dtype=np.float64)
+    a0f, b0f = a0.astype(np.float32), b0.astype(np.float32)
+    sa = stream_shard.shard_state(a0f, g, n)
+    sb = stream_shard.shard_state(b0f, g, n)
+    a = jax.device_put(jnp.asarray(sa[0]), sharding)
+    b = jax.device_put(jnp.asarray(sb[0]), sharding)
+    slabs_a = tuple(jax.device_put(jnp.asarray(s), sharding) for s in sa[1:])
+    slabs_b = tuple(jax.device_put(jnp.asarray(s), sharding) for s in sb[1:])
+    a, b = pair(a, b, slabs_a, slabs_b)
+    got = stream_shard.unshard_state(np.asarray(a), g, n)
+
+    an = analyze(spec, step=2)
+    ga, gb = a0f.astype(np.float64), b0f.astype(np.float64)
+    gb = golden.apply_interior(ga, gb, an.fused, an.halo)
+    ga = golden.apply_interior(gb, ga, an.fused, an.halo)
+    me, _ = golden.check_error(got, ga, an.halo)
+    scale = max(1.0, float(np.max(np.abs(ga))))
+    assert me / scale < 3e-6, f"max_err={me} (scale {scale:.3g})"
