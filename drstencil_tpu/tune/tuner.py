@@ -169,9 +169,14 @@ class Tuner:
         return entry
 
     def sweep(self, max_configs: Optional[int] = None,
-              log=print) -> SweepResult:
+              log=print, label_filter: Optional[str] = None) -> SweepResult:
         start = time.time()
         cands = list(default_space(self.spec))
+        if label_filter:
+            import fnmatch
+
+            cands = [c for c in cands
+                     if fnmatch.fnmatch(c.cfg.label(), label_filter)]
         rng = random.Random(self.seed)
         rng.shuffle(cands)  # uniform sampling under the time cap
         # but measure the best-known config first — a short sweep must
@@ -315,6 +320,9 @@ def main(argv=None):
                     help="wall-clock budget in seconds (reference: 1h cap)")
     ap.add_argument("--pairs", type=int, default=10)
     ap.add_argument("--max-configs", type=int, default=None)
+    ap.add_argument("--filter", default=None,
+                    help="fnmatch glob over config labels, e.g. "
+                    "'stream_fu2_*ch8*roll' — targeted mini-sweeps")
     ap.add_argument("--no-check", action="store_true")
     args = ap.parse_args(argv)
 
@@ -323,7 +331,8 @@ def main(argv=None):
     spec = load_stc(args.stc)
     tuner = Tuner(spec, args.out_dir, time_budget_s=args.budget,
                   pairs=args.pairs, check=not args.no_check)
-    res = tuner.sweep(max_configs=args.max_configs)
+    res = tuner.sweep(max_configs=args.max_configs,
+                      label_filter=args.filter)
     print(
         f"best for {spec.name}: "
         f"{res.best_cfg.label() if res.best_cfg else 'none'} "
