@@ -261,6 +261,15 @@ def is_deep(an: Analysis, cfg: KernelConfig) -> bool:
     return bool(cfg.trapezoid) and an.step >= DEEP_LEVELS
 
 
+def _roll(x, s):
+    """Lane roll used by the kernel for wrap-around lane shifts.
+
+    Module-level so perf experiments can swap the implementation
+    (e.g. pltpu.roll) or ablate it without editing the kernel body.
+    """
+    return jnp.roll(x, s, axis=1)
+
+
 def default_chunk(tm: int, wb: int) -> int:
     """Accumulation chunk rows: ~2 MB temporaries (no Mosaic spills)."""
     ch = max(8, min(tm, (2 * 1024 * 1024 // 4 // max(wb, 1)) // 8 * 8))
@@ -413,7 +422,7 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
                     if pc:
                         t = inner[:, pc + s : pc + s + N]
                     elif s:
-                        t = jnp.roll(inner, -s, axis=1)
+                        t = _roll(inner, -s)
                     else:
                         t = inner
                     acc = t if acc is None else acc + t

@@ -1,0 +1,80 @@
+"""Ablation experiments for the 2d25pt_box per-level compute floor.
+
+Measured floor (round-2 ledger): ~0.88 ms/step across fu1/fu2 — compute-
+bound, not HBM-bound.  Predicted VPU op count says ~0.5 ms; this script
+measures where the extra time goes by timing ablated kernel variants in
+ONE process (comparable per CLAUDE.md variance notes):
+
+  base      — fu2_tm96_ch8_trap_roll as-is
+  pltpu     — lane rolls via pltpu.roll instead of jnp.roll
+  noroll    — rolls ablated to identity (wrong results, timing only)
+  nocombo   — col combos ablated to a single unshifted combination
+              (loads + presums + 1 combo + store only)
+
+Usage: python tuning/exp_25pt.py [stencil] [fu] [tm] [ch]
+"""
+
+import sys
+import functools
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from drstencil_tpu.ir.spec import load_stc
+from drstencil_tpu.ops import stream as sm
+from drstencil_tpu.ops.config import KernelConfig
+from drstencil_tpu.ops.runner import StencilProgram
+
+name = sys.argv[1] if len(sys.argv) > 1 else "2d25pt_box"
+fu = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+tm = int(sys.argv[3]) if len(sys.argv) > 3 else 96
+ch = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+spec = load_stc(f"benchmarks/{name}.stc")
+cfg = KernelConfig(variant="stream", step=fu, tm=tm, ch=ch,
+                   trapezoid=(fu > 1), lane_mode="roll")
+
+orig_roll = sm._roll
+orig_plan = sm.plan_taps
+
+
+def with_roll(fn):
+    sm._roll = fn
+    return None
+
+
+def plan_nocombo(tap_list):
+    row_groups, col_groups = orig_plan(tap_list)
+    # single combination, no lane shifts: every presum summed once at s=0
+    cvec = tuple(1.0 for _ in row_groups)
+    return row_groups, [(cvec, [0])]
+
+
+def measure(tag):
+    prog = StencilProgram(spec, cfg)
+    r = prog.time(pairs=8)
+    print(f"{tag:8s} ms/step={r.seconds_per_pair * 1e3 / (2 * fu):.4f} "
+          f"({r.gstencil_per_s:.1f} GStencil/s)", flush=True)
+    return r.seconds_per_pair * 1e3 / (2 * fu)
+
+
+results = {}
+variants = sys.argv[5].split(",") if len(sys.argv) > 5 else [
+    "base", "pltpu", "noroll", "nocombo"]
+for tag in variants:
+    sm._roll = orig_roll
+    sm.plan_taps = orig_plan
+    if tag == "pltpu":
+        sm._roll = lambda x, s: pltpu.roll(x, s % x.shape[1], 1)
+    elif tag == "noroll":
+        sm._roll = lambda x, s: x
+    elif tag == "nocombo":
+        sm.plan_taps = plan_nocombo
+    results[tag] = measure(tag)
+sm._roll = orig_roll
+sm.plan_taps = orig_plan
+
+if "base" in results and "noroll" in results:
+    print(f"roll share: {results['base'] - results['noroll']:.4f} ms/step")
+if "noroll" in results and "nocombo" in results:
+    print(f"combo share: {results['noroll'] - results['nocombo']:.4f} ms/step")
