@@ -48,6 +48,11 @@ class KernelConfig:
     # True = trapezoid (apply the base stencil `step` times through VMEM
     # scratch per strip — FLOPs linear in step, the TPU-native win)
     trapezoid: bool = False
+    # factor a radius-2 2D base operator into two 3-wide convolution
+    # levels + a roll-free residual (ir/factor.py) — halves the lane
+    # rolls per level; requires a solvable table, implies level-wise
+    # (trapezoid-style) application
+    factor: bool = False
     # run kernels in the Pallas interpreter (for off-TPU tests)
     interpret: bool = False
 
@@ -76,6 +81,8 @@ class KernelConfig:
             parts.append(f"ch{self.ch}")
         if self.trapezoid:
             parts.append("trap")
+        if self.factor:
+            parts.append("fac")
         if self.lane_mode:
             parts.append(self.lane_mode)
         if self.dtype != "float32":

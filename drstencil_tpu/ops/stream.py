@@ -55,6 +55,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from drstencil_tpu.ir.factor import factor_tap_lists
 from drstencil_tpu.ir.passes import Analysis
 from drstencil_tpu.ops.config import KernelConfig
 
@@ -258,7 +259,8 @@ DEEP_LEVELS = 5
 
 
 def is_deep(an: Analysis, cfg: KernelConfig) -> bool:
-    return bool(cfg.trapezoid) and an.step >= DEEP_LEVELS
+    return (bool(cfg.trapezoid) and not cfg.factor
+            and an.step >= DEEP_LEVELS)
 
 
 def _roll(x, s):
@@ -320,12 +322,41 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
     # step·hrow_base exactly).  Intermediate levels are the *unbounded*
     # linear application: cells polluted by scratch garbage or roll wrap
     # only ever feed final outputs inside the frozen frame.
+    #
+    # Factor mode (cfg.factor, ir/factor.py): each base application is
+    # further split into two 3-lane-wide levels V1 then V2, plus a
+    # roll-free residual R applied to the source TWO levels back —
+    # halving the expensive lane rolls per level.  The schedule below
+    # generalizes both: per level a (plan, residual_plan) pair, with
+    # uniform per-level row reach hr_b and residual reach 2*hr_b.
     s_levels = an.step if (cfg.trapezoid and an.step > 1) else 1
-    if s_levels > 1:
+    hr_b = hc
+    schedule = [(fused_plan, None)]
+    if cfg.factor:
+        if len(g.dims) != 2:
+            raise ValueError("factor mode is 2D-only")
+        if an.step >= DEEP_LEVELS:
+            raise ValueError("factor mode requires step < DEEP_LEVELS")
+        fac = factor_tap_lists(an.spec.taps)
+        if fac is None:
+            raise ValueError(
+                "no well-conditioned radius-2 factorization for this table"
+            )
+        v1_taps, v2_taps, r_taps = fac
+        s_levels = 2 * an.step
+        hr_b = hc // s_levels
+        assert hr_b * s_levels == hc, "fused hrow must be 2*step*factor hrow"
+        schedule = [(plan_taps(v1_taps), None),
+                    (plan_taps(v2_taps), plan_taps(r_taps))] * an.step
+    elif s_levels > 1:
         base_taps = to_rowlane(an.spec.taps)
         base_plan = plan_taps(base_taps)
         hr_b = hc // s_levels
         assert hr_b * s_levels == hc, "fused hrow must be step*base hrow"
+        schedule = [(base_plan, None)] * s_levels
+    # residual terms need the 2-back level alive: 3 rotating scratch
+    # buffers instead of 2
+    n_scr = 3 if cfg.factor else 2
     # Deep trapezoids (step >= DEEP_LEVELS) fully unrolled blow up Mosaic
     # (multi-minute compiles immune to SIGALRM, remote-compile 500s —
     # round-1 2d25pt_box ledger).  Bound the text: intermediate levels
@@ -445,22 +476,37 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
             for base in range(0, tm, ch):
                 write_ext(chunk_acc(a_ref, fused_plan, hc, base, ch), base, ch)
         elif not deep:
-            # trapezoid: level t covers window rows shifted by t*hr_b,
-            # length window - 2*t*hr_b; final level is the ext space
+            # trapezoid/factored: level t covers window rows shifted by
+            # t*hr_b, length window - 2*t*hr_b; final level is the ext
+            # space.  A level's residual plan (factor mode) reads the
+            # source TWO levels back at reach 2*hr_b — the reach lands
+            # exactly on the valid-pyramid boundary, so residual reads
+            # never touch garbage rows.
             src = a_ref
+            prev = None
             for t in range(1, s_levels + 1):
+                plan, rplan = schedule[t - 1]
+
+                def level_acc(base, cs, src=src, prev=prev,
+                              plan=plan, rplan=rplan):
+                    acc = chunk_acc(src, plan, hr_b, base, cs)
+                    if rplan is not None:
+                        acc = acc + chunk_acc(prev, rplan, 2 * hr_b,
+                                              base, cs)
+                    return acc
+
                 if t < s_levels:
                     dst = scratch[(t - 1) % len(scratch)]
                     lt = g.window - 2 * t * hr_b
                     for base in range(0, lt, ch):
                         cs = min(ch, lt - base)
-                        acc = chunk_acc(src, base_plan, hr_b, base, cs)
-                        dst[base : base + cs, pc : pc + N] = acc
-                    src = dst
+                        dst[base : base + cs, pc : pc + N] = level_acc(
+                            base, cs
+                        )
+                    prev, src = src, dst
                 else:
                     for base in range(0, tm, ch):
-                        acc = chunk_acc(src, base_plan, hr_b, base, ch)
-                        write_ext(acc, base, ch)
+                        write_ext(level_acc(base, ch), base, ch)
         else:
             # deep trapezoid: every intermediate level computes the SAME
             # constant length L = window - 2*hr_b (garbage propagates
@@ -541,7 +587,7 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
         scratch_shapes=[pltpu.VMEM((hc, N), dtype)]
         + [
             pltpu.VMEM((g.window + wslack, wb), jnp.float32)
-            for _ in range(min(s_levels - 1, 2))
+            for _ in range(min(s_levels - 1, n_scr))
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,

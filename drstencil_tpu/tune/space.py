@@ -55,7 +55,9 @@ def vmem_estimate(spec: StencilSpec, cfg: KernelConfig) -> Optional[Candidate]:
         + 3 * g.frame_rows * g.wb     # lo/hi slabs + headroom
         + g.hrow * g.lanes            # straddle carry
     )
-    if cfg.trapezoid and cfg.step > 1:
+    if cfg.factor:
+        bytes_ += 4 * g.window * g.wb * min(2 * cfg.step - 1, 3)
+    elif cfg.trapezoid and cfg.step > 1:
         bytes_ += 4 * g.window * g.wb * min(cfg.step - 1, 2)  # level scratch
     if bytes_ > VMEM_BUDGET_BYTES:
         return None
@@ -124,6 +126,11 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
                 continue
             seen.add(key)
             yield cand
+        # NOTE: cfg.factor (ir/factor.py convolution factorization) is
+        # deliberately NOT swept: measured on v5e it loses ~1.4x to the
+        # plain trapezoid (per-level fixed cost dominates; see the
+        # factor.py docstring).  It stays available as an explicit
+        # config for non-benchmark tables where the tradeoff may differ.
         # bf16 state: halves HBM traffic and VMEM bytes per pass — worth
         # a focused slab (full product would explode the space)
         for tm, trap in itertools.product(tms[2:4] if not is3d else tms[:2],

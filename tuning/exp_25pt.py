@@ -50,6 +50,24 @@ def plan_nocombo(tap_list):
     return row_groups, [(cvec, [0])]
 
 
+def plan_loadsonly(tap_list):
+    # all row shifts in ONE presum group: 5 loads + 4 adds + 1 mult + store
+    ds = sorted({d for d, _, _ in tap_list})
+    return [ds], [((1.0,), [0])]
+
+
+def plan_oneload(tap_list):
+    # single row load + store: the pure pass floor
+    return [[0]], [((1.0,), [0])]
+
+
+def plan_tworolls(tap_list):
+    # keep row presums + center and |s|=1 col groups only: 2 rolls
+    row_groups, col_groups = orig_plan(tap_list)
+    keep = [(cv, [s for s in sl if abs(s) <= 1]) for cv, sl in col_groups]
+    return row_groups, [(cv, sl) for cv, sl in keep if sl]
+
+
 def measure(tag):
     prog = StencilProgram(spec, cfg)
     r = prog.time(pairs=8)
@@ -64,12 +82,25 @@ variants = sys.argv[5].split(",") if len(sys.argv) > 5 else [
 for tag in variants:
     sm._roll = orig_roll
     sm.plan_taps = orig_plan
+    if tag == "cfused":
+        # coefficient fusion: one application of the step-fused operator
+        # (e.g. 81 taps at fu2), no trapezoid scratch levels
+        saved, cfg = cfg, cfg.replace(trapezoid=False)
+        results[tag] = measure(tag)
+        cfg = saved
+        continue
     if tag == "pltpu":
         sm._roll = lambda x, s: pltpu.roll(x, s % x.shape[1], 1)
     elif tag == "noroll":
         sm._roll = lambda x, s: x
     elif tag == "nocombo":
         sm.plan_taps = plan_nocombo
+    elif tag == "loadsonly":
+        sm.plan_taps = plan_loadsonly
+    elif tag == "oneload":
+        sm.plan_taps = plan_oneload
+    elif tag == "tworolls":
+        sm.plan_taps = plan_tworolls
     results[tag] = measure(tag)
 sm._roll = orig_roll
 sm.plan_taps = orig_plan

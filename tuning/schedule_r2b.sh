@@ -1,0 +1,23 @@
+# Round-2 schedule B: margin stencils first (2d9pt_star 0.87 needs the
+# ch-region pass most), short confirmation breadth for the comfortable
+# ones.  2d25pt_box is deliberately absent: the factored-level kernel
+# mode under construction supersedes sweeping the current kernel.
+cd /root/repo
+T="python -m drstencil_tpu.tune.tuner"
+$T benchmarks/2d9pt_star.stc  --out-dir tuning --budget 1500 --pairs 8 \
+   --filter 'stream_fu[234]_tm*_ch8_trap_*'
+$T benchmarks/2d9pt_star.stc  --out-dir tuning --budget 900 --pairs 8
+$T benchmarks/2d9pt_cross.stc --out-dir tuning --budget 1200 --pairs 8 \
+   --filter 'stream_fu[234]_tm*_ch8_trap_*'
+$T benchmarks/2d9pt_cross.stc --out-dir tuning --budget 600 --pairs 8
+for s in 2d5pt_star 2d5pt_cross 2d9pt_box; do
+  $T benchmarks/$s.stc --out-dir tuning --budget 600 --pairs 8
+done
+for s in 3d7pt_star 3d9pt_cross; do
+  $T benchmarks/$s.stc --out-dir tuning --budget 900 --pairs 8
+done
+python -c "
+from drstencil_tpu.tune.session import aggregate_metrics
+from drstencil_tpu.tune.tuned import reconcile_from_ledgers
+aggregate_metrics('tuning')
+print(reconcile_from_ledgers('tuning'))"
