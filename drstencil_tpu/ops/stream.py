@@ -227,15 +227,23 @@ def plan_taps(tap_list):
     differ only in the final lane shift.  For 2d25pt_box this computes
     3 pre-sums and 3 inner combinations instead of 25 weighted terms.
 
-    Returns (row_groups, col_groups):
+    Returns (row_groups, col_groups, chains):
     - row_groups: list of [d, ...] — row shifts sharing one coefficient
       vector, ordered by first row shift (pre-sum each group);
     - col_groups: list of (coeffs, [s, ...]) — lane shifts sharing one
       coefficient column over the row-group pre-sums, ordered by first
-      shift; ``coeffs`` aligns with row_groups, 0.0 entries are skipped.
+      shift; ``coeffs`` aligns with row_groups, 0.0 entries are skipped;
+    - chains: per col group, None or (k, alpha, [(u, beta), ...]) —
+      an affine column chain: this group's inner equals
+      alpha * inner_k + Σ beta * presum_u, computed from an EARLIER
+      group k when that costs fewer VPU ops than the direct combination
+      (e.g. 2d25pt_box: i1 = 2*i0 + 0.01*p0 and i2 = 2*i1 - 0.1*p2,
+      cutting the inner combinations from 15 ops to 11).
 
-    Ordering is deterministic and mirrored bit-for-bit by the native
-    emitter (native/emit.hpp) — test_emitted_matches_library_runtime.
+    Ordering and chain selection are deterministic (greedy first-best in
+    (k, pivot) order, IEEE double arithmetic) and mirrored bit-for-bit
+    by the native emitter (native/emit.hpp) —
+    test_emitted_matches_library_runtime.
     """
     C = {(d, s): c for d, s, c in tap_list}
     ds = sorted({d for d, _, _ in tap_list})
@@ -250,7 +258,56 @@ def plan_taps(tap_list):
         cvec = tuple(vec[si] for vec, _ in row_groups)
         by_col.setdefault(cvec, []).append(s)
     col_groups = sorted(by_col.items(), key=lambda kv: kv[1][0])
-    return [dl for _, dl in row_groups], col_groups
+    chains = _chain_columns([cv for cv, _ in col_groups])
+    return ([dl for _, dl in row_groups], col_groups, chains)
+
+
+def _chain_columns(cvecs):
+    """Affine column chains: for each coefficient column j (in order),
+    find an earlier column k and scalar alpha with cvec_j ~= alpha *
+    cvec_k up to a SPARSE residual, and chain when the op count drops.
+
+    Residual entries within 1e-12 relative are snapped to exact zero
+    (the perturbation is orders below the kernel's fp32 noise floor and
+    the differential check gate guards every config); alpha is bounded
+    to [1/16, 16] and residuals to 64x the column scale so chains never
+    introduce catastrophic cancellation.  Greedy, first candidate of
+    minimal cost in (k, pivot) order — deterministic, and mirrored
+    exactly (same IEEE double ops) by the native emitter.
+    """
+    chains = [None] * len(cvecs)
+    for j in range(1, len(cvecs)):
+        cj = cvecs[j]
+        nnz = sum(1 for c in cj if c != 0.0)
+        best_cost = 2 * nnz - 1  # direct: nnz mults + (nnz-1) adds
+        scale = max(abs(c) for c in cj)
+        for k in range(j):
+            ck = cvecs[k]
+            for m in range(len(cj)):
+                if ck[m] == 0.0 or cj[m] == 0.0:
+                    continue
+                alpha = cj[m] / ck[m]
+                if not (0.0625 <= abs(alpha) <= 16.0):
+                    continue
+                res = []
+                ok = True
+                for u in range(len(cj)):
+                    r = cj[u] - alpha * ck[u]
+                    den = max(abs(cj[u]), abs(alpha) * abs(ck[u]))
+                    if abs(r) <= 1e-12 * den:
+                        r = 0.0
+                    if abs(r) > 64.0 * scale:
+                        ok = False
+                        break
+                    if r != 0.0:
+                        res.append((u, r))
+                if not ok:
+                    continue
+                cost = 1 + 2 * len(res)  # alpha mult + per-residual ops
+                if cost < best_cost:
+                    best_cost = cost
+                    chains[j] = (k, alpha, res)
+    return chains
 
 
 # trapezoid depth at which intermediate levels compile via fori_loop
@@ -412,7 +469,7 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
             # collapsing 5 live row tiles to 3 pre-sums before the weighted
             # combinations beats both per-inner re-slicing and explicit
             # shared loads by 1.3-1.5x — shorter live ranges, fewer spills)
-            row_groups, col_groups = plan
+            row_groups, col_groups, chains = plan
             dyn = not isinstance(base, int)  # fori-loop body: pl.ds slices
             if dyn:
                 # Mosaic requires dynamic sublane offsets provably mod-8:
@@ -442,13 +499,24 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
                     t = ld if t is None else t + ld
                 presums.append(t)
             acc = None
-            for cvec, slist in col_groups:
-                inner = None
-                for coe, p in zip(cvec, presums):
-                    if coe == 0.0:
-                        continue
-                    term = jnp.asarray(coe, jnp.float32) * p
-                    inner = term if inner is None else inner + term
+            inners = []
+            for gi, (cvec, slist) in enumerate(col_groups):
+                if chains[gi] is not None:
+                    # affine column chain: alpha * earlier inner + sparse
+                    # residual over the pre-sums (see _chain_columns)
+                    k, alpha, res = chains[gi]
+                    inner = jnp.asarray(alpha, jnp.float32) * inners[k]
+                    for u, beta in res:
+                        inner = inner + jnp.asarray(beta, jnp.float32) \
+                            * presums[u]
+                else:
+                    inner = None
+                    for coe, p in zip(cvec, presums):
+                        if coe == 0.0:
+                            continue
+                        term = jnp.asarray(coe, jnp.float32) * p
+                        inner = term if inner is None else inner + term
+                inners.append(inner)
                 for s in slist:
                     if pc:
                         t = inner[:, pc + s : pc + s + N]

@@ -15,8 +15,10 @@
 
 #pragma once
 
+#include <cmath>
 #include <iomanip>
 #include <map>
+#include <optional>
 #include <sstream>
 #include <string>
 #include <tuple>
@@ -334,16 +336,65 @@ if __name__ == "__main__":
             }
             o << ind << ")\n";
         }
+        // affine column chains (mirror of stream._chain_columns: greedy
+        // first-best in (k, pivot) order, same IEEE double arithmetic,
+        // residuals snapped to zero at 1e-12 relative)
+        struct Chain { long k; double alpha;
+                       std::vector<std::pair<size_t, double>> res; };
+        std::vector<std::optional<Chain>> chains(cg.size());
+        for (size_t j = 1; j < cg.size(); ++j) {
+            const auto& cj = cg[j].first;
+            long nnz = 0;
+            double scale = 0.0;
+            for (double c : cj) {
+                if (c != 0.0) ++nnz;
+                scale = std::max(scale, std::fabs(c));
+            }
+            long best_cost = 2 * nnz - 1;
+            for (size_t k = 0; k < j; ++k) {
+                const auto& ck = cg[k].first;
+                for (size_t m = 0; m < cj.size(); ++m) {
+                    if (ck[m] == 0.0 || cj[m] == 0.0) continue;
+                    double alpha = cj[m] / ck[m];
+                    double aa = std::fabs(alpha);
+                    if (!(0.0625 <= aa && aa <= 16.0)) continue;
+                    std::vector<std::pair<size_t, double>> res;
+                    bool okc = true;
+                    for (size_t u = 0; u < cj.size(); ++u) {
+                        double r = cj[u] - alpha * ck[u];
+                        double den = std::max(std::fabs(cj[u]),
+                                              aa * std::fabs(ck[u]));
+                        if (std::fabs(r) <= 1e-12 * den) r = 0.0;
+                        if (std::fabs(r) > 64.0 * scale) { okc = false; break; }
+                        if (r != 0.0) res.push_back({u, r});
+                    }
+                    if (!okc) continue;
+                    long cost = 1 + 2 * (long)res.size();
+                    if (cost < best_cost) {
+                        best_cost = cost;
+                        chains[j] = Chain{(long)k, alpha, res};
+                    }
+                }
+            }
+        }
         // inner combinations
         for (size_t k = 0; k < cg.size(); ++k) {
             o << ind << "i" << k << " = (\n";
             bool first = true;
-            for (size_t u = 0; u < rg.size(); ++u) {
-                double coe = cg[k].first[u];
-                if (coe == 0.0) continue;
-                o << ind << "    " << (first ? "  " : "+ ") << "("
-                  << fmt_coe(coe) << ") * p" << u << "\n";
-                first = false;
+            if (chains[k]) {
+                o << ind << "      (" << fmt_coe(chains[k]->alpha)
+                  << ") * i" << chains[k]->k << "\n";
+                for (const auto& [u, beta] : chains[k]->res)
+                    o << ind << "    + (" << fmt_coe(beta) << ") * p" << u
+                      << "\n";
+            } else {
+                for (size_t u = 0; u < rg.size(); ++u) {
+                    double coe = cg[k].first[u];
+                    if (coe == 0.0) continue;
+                    o << ind << "    " << (first ? "  " : "+ ") << "("
+                      << fmt_coe(coe) << ") * p" << u << "\n";
+                    first = false;
+                }
             }
             o << ind << ")\n";
         }
@@ -584,6 +635,11 @@ def main():
         rms = float(np.sqrt(np.mean(diff ** 2)))
         print(f"[Test] Max Error: {float(diff.max()):e}")
         print(f"[Test] RMS Error: {rms:e}")
+        # growing operators inflate absolute errors (values scale by
+        # sum(coeffs) per timestep, warmup included) — the relative
+        # number is the meaningful one
+        scale = max(float(np.max(np.abs(ga[itr]))), 1.0)
+        print(f"[Test] Max Relative Error: {float(diff.max()) / scale:e}")
 
 
 if __name__ == "__main__":

@@ -44,28 +44,29 @@ def with_roll(fn):
 
 
 def plan_nocombo(tap_list):
-    row_groups, col_groups = orig_plan(tap_list)
+    row_groups, col_groups, _ = orig_plan(tap_list)
     # single combination, no lane shifts: every presum summed once at s=0
     cvec = tuple(1.0 for _ in row_groups)
-    return row_groups, [(cvec, [0])]
+    return row_groups, [(cvec, [0])], [None]
 
 
 def plan_loadsonly(tap_list):
     # all row shifts in ONE presum group: 5 loads + 4 adds + 1 mult + store
     ds = sorted({d for d, _, _ in tap_list})
-    return [ds], [((1.0,), [0])]
+    return [ds], [((1.0,), [0])], [None]
 
 
 def plan_oneload(tap_list):
     # single row load + store: the pure pass floor
-    return [[0]], [((1.0,), [0])]
+    return [[0]], [((1.0,), [0])], [None]
 
 
 def plan_tworolls(tap_list):
     # keep row presums + center and |s|=1 col groups only: 2 rolls
-    row_groups, col_groups = orig_plan(tap_list)
+    row_groups, col_groups, _ = orig_plan(tap_list)
     keep = [(cv, [s for s in sl if abs(s) <= 1]) for cv, sl in col_groups]
-    return row_groups, [(cv, sl) for cv, sl in keep if sl]
+    kept = [(cv, sl) for cv, sl in keep if sl]
+    return row_groups, kept, [None] * len(kept)
 
 
 def measure(tag):
