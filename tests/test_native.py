@@ -189,6 +189,81 @@ def test_emitted_matches_library_runtime(tmp_path):
     np.testing.assert_array_equal(gen_out, lib_out)
 
 
+def test_emitted_matches_library_trapezoid_chained(tmp_path):
+    """Bit-identical parity for the trapezoid path with affine column
+    chains active (2d25pt_box's plan chains i1 and i2 — the emitter must
+    reproduce _chain_columns exactly, greedy order and IEEE arithmetic)."""
+    import jax
+    from drstencil_tpu.ops.config import KernelConfig
+    from drstencil_tpu.ops.runner import StencilProgram
+    from drstencil_tpu.ops.stream import plan_taps
+    from drstencil_tpu.ir import golden as gold_mod
+
+    spec = small_spec("2d25pt_box", dims=(64, 256))
+    # precondition: this table actually produces chains
+    taps = sorted((d, s, c) for (d, s), c in spec.taps.items())
+    _, _, chains = plan_taps(taps)
+    assert any(c is not None for c in chains)
+
+    cfg = KernelConfig(variant="stream", step=2, tm=16, ch=8,
+                       trapezoid=True, lane_mode="roll", interpret=True)
+    prog = StencilProgram(spec, cfg)
+    state = prog.init_state(7)
+    state = prog.run_pairs(state, 1)
+    lib_out = prog.final_a(state)
+
+    body = "".join(
+        f"{d} {s} {c}\n" for d, s, c in sorted(
+            ((off[0], off[1], c) for off, c in spec.taps.items())
+        )
+    )
+    text = native_bridge.emit(
+        "M 64\nN 256\niterations 4\nstencil\n" + body,
+        "tiny25", step=2, tm=16, ch=8, trapezoid=True, lane_mode="roll",
+    )
+    assert "* i0" in text  # a chained inner made it into the program
+    g = {"__name__": "gen"}
+    exec(compile(text, "gen25.py", "exec"), g)
+    a0, b0 = gold_mod.random_state(spec, 7, dtype=np.float64)
+    a0, b0 = a0.astype(np.float32), b0.astype(np.float32)
+    call = g["build_call"](True)
+
+    def apply_fn(src, slabs):
+        lo, hi, *faces = slabs
+        return call(src, lo, hi, *faces)
+
+    a = g["pad_state"](a0)
+    sa = g["make_slabs"](a0)
+    sb = g["make_slabs"](b0)
+    b = apply_fn(jax.numpy.asarray(a), tuple(map(jax.numpy.asarray, sb)))
+    a = apply_fn(b, tuple(map(jax.numpy.asarray, sa)))
+    gen_out = np.asarray(a)[
+        g["PR"] : g["PR"] + 64, g["PC"] : g["PC"] + g["N"]
+    ]
+    np.testing.assert_array_equal(gen_out, lib_out)
+
+
+def test_chain_columns_guards():
+    """_chain_columns: finds the 2d25pt chains, refuses unprofitable or
+    ill-conditioned ones."""
+    from drstencil_tpu.ops.stream import _chain_columns
+
+    # the 2d25pt_box columns: i1 = 2*i0 + 0.01*p0, i2 = 2*i1 - 0.1*p2
+    ch = _chain_columns([(0.02, 0.05, 0.1), (0.05, 0.1, 0.2),
+                         (0.1, 0.2, 0.3)])
+    assert ch[0] is None
+    assert ch[1][0] == 0 and ch[1][1] == 2.0 and len(ch[1][2]) == 1
+    assert ch[2][0] == 1 and ch[2][1] == 2.0 and len(ch[2][2]) == 1
+    # single-entry columns: direct cost 1 can't be beaten
+    assert _chain_columns([(0.2, 0.1, 0.3), (0.0, 0.0, 0.2),
+                           (0.0, 0.0, 0.1)]) == [None, None, None]
+    # alpha outside [1/16, 16] is rejected
+    assert _chain_columns([(1.0, 2.0, 4.0), (100.0, 200.0, 400.0)])[1] is None
+    # exact multiples chain with empty residual
+    ch = _chain_columns([(1.0, 2.0), (2.0, 4.0)])
+    assert ch[1] == (0, 2.0, [])
+
+
 def test_emitted_trapezoid_check(tmp_path):
     stc = _write_small_stc(tmp_path, "tiny", (64, 256), FIVE_PT)
     out_py = str(tmp_path / "trap.py")
