@@ -44,6 +44,41 @@ def test_fuzz_2d(seed):
     assert max_err < 1e-5 * scale, f"{cfg.label()}: max_err={max_err}"
 
 
+def ratio_spec(rng, dims):
+    """Random stencil whose coefficient COLUMNS are scalar multiples of
+    each other plus a sparse perturbation — the structure that triggers
+    affine column chains (stream._chain_columns).  Random tables almost
+    never hit exact ratios, so chains need their own fuzz corpus."""
+    r = 2
+    base_col = [float(rng.uniform(0.05, 0.3)) for _ in range(2 * r + 1)]
+    taps = {}
+    for si, s in enumerate(range(-r, r + 1)):
+        alpha = float(rng.choice([0.5, 1.0, 2.0, 4.0]))
+        for di, d in enumerate(range(-r, r + 1)):
+            taps[(d, s)] = alpha * base_col[di]
+    # sparse perturbation on the center column (keeps chains profitable)
+    taps[(0, 0)] += float(rng.uniform(0.05, 0.2))
+    return StencilSpec(name="ratio", dims=dims, iterations=4, taps=taps)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_column_chains(seed):
+    from drstencil_tpu.ops.stream import plan_taps
+
+    rng = np.random.default_rng(300 + seed)
+    spec = ratio_spec(rng, (48, 256))
+    tl = sorted((off[0], off[1], c) for off, c in spec.taps.items())
+    _, _, chains = plan_taps(tl)
+    assert any(c is not None for c in chains), "corpus must trigger chains"
+    step = int(rng.integers(1, 3))
+    cfg = KernelConfig(variant="stream", step=step, tm=24,
+                       trapezoid=step > 1, lane_mode="roll", interpret=True)
+    prog = StencilProgram(spec, cfg)
+    max_err, _ = prog.check(seed=seed, pairs=1)
+    scale = max(1.0, abs(sum(spec.taps.values()))) ** (2 * step) * 100
+    assert max_err < 1e-5 * scale, f"{cfg.label()}: max_err={max_err}"
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_3d(seed):
     rng = np.random.default_rng(200 + seed)
