@@ -1,0 +1,28 @@
+# Round-2 schedule C (post column-chain CSE): the 2d25pt_box ledger was
+# wiped (pre-chain timings are not comparable); focused re-sweep on the
+# chained kernel first, then the margin stencils, then confirmation
+# breadth.  2d9pt_star/cross trapezoid plans are chain-unaffected, so
+# their ledgers remain valid and resume.
+cd /root/repo
+T="python -m drstencil_tpu.tune.tuner"
+$T benchmarks/2d25pt_box.stc --out-dir tuning --budget 3600 --pairs 8 \
+   --filter 'stream_fu*_tm*_ch*_trap_roll'
+$T benchmarks/2d25pt_box.stc --out-dir tuning --budget 900 --pairs 8
+$T benchmarks/2d9pt_star.stc  --out-dir tuning --budget 1500 --pairs 8 \
+   --filter 'stream_fu[234]_tm*_ch8_trap_*'
+$T benchmarks/2d9pt_star.stc  --out-dir tuning --budget 600 --pairs 8
+$T benchmarks/2d9pt_cross.stc --out-dir tuning --budget 1200 --pairs 8 \
+   --filter 'stream_fu[234]_tm*_ch8_trap_*'
+$T benchmarks/2d9pt_cross.stc --out-dir tuning --budget 600 --pairs 8
+for s in 2d5pt_star 2d5pt_cross 2d9pt_box; do
+  $T benchmarks/$s.stc --out-dir tuning --budget 600 --pairs 8
+done
+for s in 3d7pt_star 3d9pt_cross; do
+  $T benchmarks/$s.stc --out-dir tuning --budget 900 --pairs 8
+done
+python -c "
+from drstencil_tpu.tune.session import aggregate_metrics
+from drstencil_tpu.tune.tuned import reconcile_from_ledgers
+aggregate_metrics('tuning')
+print(reconcile_from_ledgers('tuning'))"
+echo SCHEDULE_C_DONE
