@@ -84,10 +84,13 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
             )
             chs = (None, "tm/2", "tm/4")
         else:
-            tms = (64, 96, 128, 160, 256, 512)
+            # 320-448 matter for deep trapezoids (halo refetch amortizes
+            # with tm while tm=512 windows start timing out in Mosaic)
+            tms = (64, 96, 128, 160, 256, 320, 384, 448, 512)
             # accumulation chunk: smaller chunks keep temporaries
-            # register-resident (measured best for wide stencils)
-            chs = (None, 8, 16)
+            # register-resident (measured best for wide stencils; deep
+            # trapezoids prefer 16-32 — fewer fori iterations)
+            chs = (None, 8, 16, 24, 32)
         # NOTE: the reference also sweeps --dist, which shapes its
         # forward/backward split and shm Range; our kernel owns the whole
         # haloed tile in VMEM, so distance is analysis-only metadata and
