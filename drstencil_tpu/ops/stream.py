@@ -253,6 +253,31 @@ def plan_taps(tap_list):
         vec = tuple(C.get((d, s), 0.0) for s in ss)
         by_vec.setdefault(vec, []).append(d)
     row_groups = sorted(by_vec.items(), key=lambda kv: kv[1][0])
+    # Pre-sum only when shared: a row group consumed by a single inner
+    # combination (one distinct coefficient column group — mirrored ±s
+    # columns share their inner) saves nothing from pre-summing (add+mul
+    # vs two FMAs) and its extra intermediate costs real time
+    # (2d9pt_star: 0.907 -> 0.834 ms/step measured when such groups stay
+    # per-row).  Groups shared by >= 2 inners keep the pre-sum
+    # (2d25pt_box: shared by 3, measured faster).  Consumers are counted
+    # over the col groups of the UNSPLIT row grouping (one pass,
+    # deterministic, mirrored by the native emitter).
+    pre_cols: dict = {}
+    for si in range(len(ss)):
+        cvec = tuple(vec[si] for vec, _ in row_groups)
+        pre_cols.setdefault(cvec, []).append(si)
+    consumers = [0] * len(row_groups)
+    for cvec in pre_cols:
+        for gi, c in enumerate(cvec):
+            if c != 0.0:
+                consumers[gi] += 1
+    split = []
+    for gi, (vec, dl) in enumerate(row_groups):
+        if consumers[gi] < 2 and len(dl) > 1:
+            split.extend((vec, [d]) for d in dl)
+        else:
+            split.append((vec, dl))
+    row_groups = sorted(split, key=lambda kv: kv[1][0])
     by_col: dict = {}
     for si, s in enumerate(ss):
         cvec = tuple(vec[si] for vec, _ in row_groups)

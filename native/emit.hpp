@@ -289,6 +289,36 @@ if __name__ == "__main__":
                 if (v == vec) { dl.push_back(d); found = true; break; }
             if (!found) rg.push_back({vec, {d}});
         }
+        // pre-sum only when shared (mirror of stream.plan_taps): a row
+        // group consumed by fewer than 2 distinct column groups of the
+        // UNSPLIT grouping is split into per-row singletons — the
+        // pre-sum saves nothing there and its intermediate costs time
+        {
+            std::map<std::vector<double>, int> pre_cols;
+            for (size_t si = 0; si < ss.size(); ++si) {
+                std::vector<double> cvec;
+                for (const auto& [v, dl] : rg) cvec.push_back(v[si]);
+                pre_cols[cvec] = 1;  // set semantics: distinct columns
+            }
+            std::vector<int> consumers(rg.size(), 0);
+            for (const auto& [cvec, _] : pre_cols)
+                for (size_t gi = 0; gi < cvec.size(); ++gi)
+                    if (cvec[gi] != 0.0) ++consumers[gi];
+            std::vector<std::pair<std::vector<double>, std::vector<long>>>
+                split;
+            for (size_t gi = 0; gi < rg.size(); ++gi) {
+                if (consumers[gi] < 2 && rg[gi].second.size() > 1)
+                    for (long d : rg[gi].second)
+                        split.push_back({rg[gi].first, {d}});
+                else
+                    split.push_back(rg[gi]);
+            }
+            std::stable_sort(split.begin(), split.end(),
+                             [](const auto& a, const auto& b) {
+                                 return a.second[0] < b.second[0];
+                             });
+            rg = std::move(split);
+        }
         // column groups: shifts sharing a coefficient column over the
         // row-group pre-sums, first-occurrence order == ascending first s
         std::vector<std::pair<std::vector<double>, std::vector<long>>> cg;
