@@ -61,6 +61,21 @@ def plan_oneload(tap_list):
     return [[0]], [((1.0,), [0])], [None]
 
 
+def plan_nopresum(tap_list):
+    # round-1-style: no symmetric row pre-sums (singleton row groups);
+    # col grouping then happens over per-row vectors
+    C = {(d, s): c for d, s, c in tap_list}
+    ds = sorted({d for d, _, _ in tap_list})
+    ss = sorted({s for _, s, _ in tap_list})
+    row_groups = [[d] for d in ds]
+    by_col = {}
+    for si, s_ in enumerate(ss):
+        cvec = tuple(C.get((d, s_), 0.0) for d in ds)
+        by_col.setdefault(cvec, []).append(s_)
+    cg = sorted(by_col.items(), key=lambda kv: kv[1][0])
+    return row_groups, cg, [None] * len(cg)
+
+
 def plan_tworolls(tap_list):
     # keep row presums + center and |s|=1 col groups only: 2 rolls
     row_groups, col_groups, _ = orig_plan(tap_list)
@@ -102,6 +117,8 @@ for tag in variants:
         sm.plan_taps = plan_oneload
     elif tag == "tworolls":
         sm.plan_taps = plan_tworolls
+    elif tag == "nopresum":
+        sm.plan_taps = plan_nopresum
     results[tag] = measure(tag)
 sm._roll = orig_roll
 sm.plan_taps = orig_plan
