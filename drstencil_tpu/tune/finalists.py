@@ -61,6 +61,31 @@ def top_configs(paths, k: int):
     return out[:k]
 
 
+def emit_artifact(spec, cfg: KernelConfig, out_dir: str) -> None:
+    """Keep the winner's generated program in out_dir/cu/ in sync with
+    tuned.json (the tuner does this during sweeps; a finalist selection
+    changes winners too).  Soft-fail like the tuner's emitter."""
+    if cfg.variant != "stream":
+        return
+    try:
+        from drstencil_tpu import native_bridge
+
+        text = native_bridge.emit(
+            spec.to_stc(), spec.name, step=cfg.step, distance=cfg.distance,
+            merge_forward=cfg.merge_forward, tm=cfg.tm or 0, check=True,
+            dtype=cfg.dtype, trapezoid=cfg.trapezoid,
+            lane_mode=cfg.lane_mode or "", ch=cfg.ch or 0,
+        )
+        cu_dir = os.path.join(out_dir, "cu")
+        os.makedirs(cu_dir, exist_ok=True)
+        with open(os.path.join(
+                cu_dir, f"{spec.name}__{cfg.label()}.py"), "w") as f:
+            f.write(text)
+    except Exception as e:
+        print(f"[{spec.name}] artifact emit skipped: {str(e)[:200]}",
+              flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="tuning")
@@ -109,6 +134,7 @@ def main():
                          "score": {"ms_per_step": med,
                                    "protocol": f"median-of-{args.reps}"}}
         print(f"[{name}] FINALIST: {label} @ {med:.4f} ms/step", flush=True)
+        emit_artifact(spec, cfg, args.out_dir)
 
     tuned = {}
     try:
