@@ -21,9 +21,11 @@ BASELINE.md documents the empty published set).
 Env knobs:
   BENCH_STENCILS=name1,name2   subset (default: all 8)
   BENCH_PAIRS=N                timed pairs (default 12)
-  BENCH_REPEATS=N              timing repetitions per stencil, best-of
+  BENCH_REPEATS=N              timing repetitions per stencil, MEDIAN-of
                                (default 2; compile is cached, repeats are
-                               cheap and damp relay run-to-run drift)
+                               cheap and damp relay run-to-run drift; the
+                               median carries the same winner's-curse
+                               discipline as tuned.json/BASELINE.md)
   BENCH_CHECK=1                also run on-device differential checks
 """
 
@@ -67,11 +69,27 @@ def main():
         cfg = best_config(name)
         try:
             prog = StencilProgram(spec, cfg)
-            res = prog.time(pairs=pairs)
-            for _ in range(repeats - 1):  # best-of: damp relay drift
-                r2 = prog.time(pairs=pairs)
-                if r2.seconds_per_pair < res.seconds_per_pair:
-                    res = r2
+            # median over repeats (not best-of): min-selection re-inherits
+            # the winner's curse the finalists/BASELINE protocol removes
+            runs = [prog.time(pairs=pairs) for _ in range(repeats)]
+            runs.sort(key=lambda r: r.seconds_per_pair)
+            if repeats % 2:
+                res = runs[repeats // 2]
+            else:  # even count: synthesize the mean of the middle two
+                import statistics
+
+                mid = statistics.mean(
+                    r.seconds_per_pair
+                    for r in runs[repeats // 2 - 1 : repeats // 2 + 1]
+                )
+                res = runs[repeats // 2 - 1]
+                scale = mid / res.seconds_per_pair
+                res = type(res)(
+                    label=res.label, seconds_per_pair=mid, pairs=res.pairs,
+                    warmup_pairs=res.warmup_pairs,
+                    gstencil_per_s=res.gstencil_per_s / scale,
+                    achieved_gbps=res.achieved_gbps / scale,
+                )
         except Exception as e:  # a bad tuned config must not kill the bench
             detail[name] = {"cfg": cfg.label(), "error": str(e)[:300]}
             fracs.append(1e-6)

@@ -111,6 +111,17 @@ class StencilProgram:
         else:
             raise ValueError(f"unknown variant {cfg.variant!r}")
 
+    # -- public API ------------------------------------------------------
+    def pair_fn(self):
+        """The unjitted ping-pong pair function — the public export /
+        driver contract (jit it yourself, e.g. with donate_argnums).
+
+        Signature depends on the variant: ``(a, b) -> (a', b')`` for
+        ``xla``; ``(a, b, slabs_a, slabs_b) -> (a', b')`` for the
+        streaming variants (args match ``init_state()`` keys).
+        """
+        return self._pair_core
+
     # -- state ----------------------------------------------------------
     def init_state(self, seed: int = 0, on_device: bool = False):
         """Initial ping-pong state (random a, zero b, frame slabs).

@@ -48,15 +48,19 @@ def top_configs(paths, k: int):
         except (OSError, json.JSONDecodeError):
             continue
         for label, e in ledger.items():
-            if e.get("status") != "ok":
+            # one malformed entry must not abort the whole finalist pass
+            if not isinstance(e, dict) or e.get("status") != "ok":
+                continue
+            cfg_d = e.get("config")
+            if not isinstance(cfg_d, dict):
                 continue
             ms = e.get("ms_per_step")
             if ms is None:
                 ms = e.get("ms_per_pair", 1e18) / (
-                    2 * e["config"].get("step", 1))
-            obj = objective_ms(ms, e["config"].get("dtype", "float32"))
+                    2 * cfg_d.get("step", 1))
+            obj = objective_ms(ms, cfg_d.get("dtype", "float32"))
             if label not in rows or obj < rows[label][0]:
-                rows[label] = (obj, label, e["config"])
+                rows[label] = (obj, label, cfg_d)
     out = sorted(rows.values(), key=lambda r: r[0])
     return out[:k]
 
@@ -65,7 +69,9 @@ def emit_artifact(spec, cfg: KernelConfig, out_dir: str) -> None:
     """Keep the winner's generated program in out_dir/cu/ in sync with
     tuned.json (the tuner does this during sweeps; a finalist selection
     changes winners too).  Soft-fail like the tuner's emitter."""
-    if cfg.variant != "stream":
+    if cfg.variant != "stream" or cfg.factor:
+        # no native emit ABI for factor mode — an artifact would contain
+        # the plain kernel under a '..._fac' label (see tuner._emit_artifact)
         return
     try:
         from drstencil_tpu import native_bridge

@@ -41,6 +41,10 @@ from drstencil_tpu.tune.space import Candidate, default_space
 # ~taps·2^-8 per step.
 CHECK_TOL = {"float32": 1e-3, "bfloat16": 5e-2}
 
+# stdout line prefix the isolated worker uses to hand its result back
+# (Pallas/absl log noise shares the stream)
+RESULT_MARKER = "DRSTENCIL_RESULT "
+
 
 @dataclass
 class SweepResult:
@@ -50,11 +54,59 @@ class SweepResult:
     errors: int
 
 
+def measure_config(spec: StencilSpec, cfg: KernelConfig, pairs: int = 10,
+                   check: bool = True) -> dict:
+    """Build, (device-)check, and time ONE config; returns a ledger entry.
+
+    Module-level so the isolated worker process (tune.worker) and the
+    in-process Tuner path run the identical measurement."""
+    prog = StencilProgram(spec, cfg)
+    entry: dict = {"config": asdict(cfg)}
+    if check and cfg.variant != "xla":
+        diff = prog.device_check(pairs=1)
+        entry["max_dev_diff"] = diff
+        if diff > CHECK_TOL.get(cfg.dtype, 1e-3):
+            entry["status"] = "check_failed"
+            return entry
+    res = prog.time(pairs=pairs)
+    entry.update(
+        status="ok",
+        ms_per_pair=res.seconds_per_pair * 1e3,
+        # the objective: time per plain timestep — one launch advances
+        # `step` timesteps, so deeper fusion amortizes (exactly why the
+        # reference fuses; its ncu Duration objective divides the same
+        # way since Iterations/(2*step) launches run, tuning.py:24).
+        ms_per_step=res.seconds_per_pair * 1e3 / (2 * prog.an.step),
+        gstencil_per_s=res.gstencil_per_s,
+        eff_gbps=res.achieved_gbps,
+        roofline_frac=res.gstencil_per_s / tuned_mod.naive_sol_gstencil(
+            prog.dtype.itemsize),
+    )
+    # modeled HBM traffic vs measured time — the honest `SOL DRAM`
+    # analogue (reference getGpuMetrics.py:9): modeled_gbps is the
+    # analytic per-apply traffic over the measured per-apply time;
+    # padding/refetch overheads show up as modeled_gbps > eff_gbps.
+    if cfg.variant != "xla":
+        try:
+            from drstencil_tpu.utils.profiling import traffic_model
+
+            tmod = traffic_model(prog.an, cfg)
+            sec_per_apply = res.seconds_per_pair / 2
+            gbps, frac = tmod.achieved(sec_per_apply,
+                                       tuned_mod.HBM_PEAK_GBPS)
+            entry["modeled_gbps"] = round(gbps, 1)
+            entry["modeled_hbm_frac"] = round(frac, 4)
+        except Exception:
+            pass
+    return entry
+
+
 class Tuner:
     def __init__(self, spec: StencilSpec, out_dir: str,
                  time_budget_s: float = 3600.0, pairs: int = 10,
                  check: bool = True, seed: int = 0,
-                 config_timeout_s: float = 420.0):
+                 config_timeout_s: float = 420.0,
+                 isolate: bool = False, keep_artifacts: bool = False):
         self.spec = spec
         self.out_dir = out_dir
         self.time_budget_s = time_budget_s
@@ -64,8 +116,17 @@ class Tuner:
         # hard per-config cap: one pathological compile (wide fused
         # operators can take many minutes in Mosaic) must not eat the
         # whole sweep budget; SIGALRM works because sweeps run in the
-        # main thread
+        # main thread — EXCEPT for Mosaic compile hangs, which only the
+        # isolate=True subprocess worker can kill
         self.config_timeout_s = config_timeout_s
+        # isolate: per-config subprocess worker (reference parity — each
+        # config is its own nvcc+binary run).  Costs a jax+client init
+        # per config, so in-process stays the default for bulk sweeps;
+        # use isolate for spaces that may contain compile hangs.
+        self.isolate = isolate
+        # keep_artifacts: write cu/<cfg>.py for EVERY attempted config
+        # (reference behaviour, tuning.py:149-151), not just the winner
+        self.keep_artifacts = keep_artifacts
         os.makedirs(out_dir, exist_ok=True)
         self.ledger_path = os.path.join(out_dir, f"{spec.name}.ledger.json")
         self.metrics_path = os.path.join(out_dir, "metrics.csv")
@@ -109,6 +170,8 @@ class Tuner:
         import signal
         import threading
 
+        if self.isolate:
+            return self._measure_isolated(cand)
         if (self.config_timeout_s <= 0
                 or threading.current_thread() is not threading.main_thread()):
             return self._measure(cand)
@@ -128,45 +191,52 @@ class Tuner:
             signal.signal(signal.SIGALRM, old)
 
     def _measure(self, cand: Candidate) -> dict:
-        prog = StencilProgram(self.spec, cand.cfg)
-        entry: dict = {"config": asdict(cand.cfg)}
-        if self.check and cand.cfg.variant != "xla":
-            diff = prog.device_check(pairs=1)
-            entry["max_dev_diff"] = diff
-            if diff > CHECK_TOL.get(cand.cfg.dtype, 1e-3):
-                entry["status"] = "check_failed"
-                return entry
-        res = prog.time(pairs=self.pairs)
-        entry.update(
-            status="ok",
-            ms_per_pair=res.seconds_per_pair * 1e3,
-            # the objective: time per plain timestep — one launch advances
-            # `step` timesteps, so deeper fusion amortizes (exactly why the
-            # reference fuses; its ncu Duration objective divides the same
-            # way since Iterations/(2*step) launches run, tuning.py:24).
-            ms_per_step=res.seconds_per_pair * 1e3 / (2 * prog.an.step),
-            gstencil_per_s=res.gstencil_per_s,
-            eff_gbps=res.achieved_gbps,
-            roofline_frac=res.gstencil_per_s / tuned_mod.naive_sol_gstencil(
-                prog.dtype.itemsize),
-        )
-        # modeled HBM traffic vs measured time — the honest `SOL DRAM`
-        # analogue (reference getGpuMetrics.py:9): modeled_gbps is the
-        # analytic per-apply traffic over the measured per-apply time;
-        # padding/refetch overheads show up as modeled_gbps > eff_gbps.
-        if cand.cfg.variant != "xla":
-            try:
-                from drstencil_tpu.utils.profiling import traffic_model
+        return measure_config(self.spec, cand.cfg, pairs=self.pairs,
+                              check=self.check)
 
-                tmod = traffic_model(prog.an, cand.cfg)
-                sec_per_apply = res.seconds_per_pair / 2
-                gbps, frac = tmod.achieved(sec_per_apply,
-                                           tuned_mod.HBM_PEAK_GBPS)
-                entry["modeled_gbps"] = round(gbps, 1)
-                entry["modeled_hbm_frac"] = round(frac, 4)
-            except Exception:
-                pass
-        return entry
+    def _measure_isolated(self, cand: Candidate) -> dict:
+        """Measure one config in a fresh subprocess (tune.worker) with a
+        hard kill at config_timeout_s.
+
+        The reference gets this isolation for free — every config is its
+        own nvcc + binary run (compile_run.sh:4-5).  In-process SIGALRM
+        cannot interrupt a Mosaic compile hang (fully-unrolled deep
+        levels hang >7 min immune to SIGALRM); killing the process is the
+        only reliable cap, and it also quarantines compiler crashes.
+        """
+        import subprocess
+        import sys
+
+        payload = json.dumps({
+            "stc": self.spec.to_stc(),
+            "name": self.spec.name,
+            "config": asdict(cand.cfg),
+            "pairs": self.pairs,
+            "check": self.check,
+        })
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "drstencil_tpu.tune.worker"],
+                input=payload, capture_output=True, text=True, env=env,
+                timeout=self.config_timeout_s if self.config_timeout_s > 0
+                else None,
+            )
+        except subprocess.TimeoutExpired:
+            raise TimeoutError(
+                f"config exceeded {self.config_timeout_s:.0f}s in isolated "
+                "worker (compile or run); process killed, sweep continues"
+            )
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith(RESULT_MARKER):
+                return json.loads(line[len(RESULT_MARKER):])
+        raise RuntimeError(
+            f"isolated worker failed (rc={proc.returncode}): "
+            f"{proc.stdout[-800:]}\n{proc.stderr[-1500:]}"
+        )
 
     def sweep(self, max_configs: Optional[int] = None,
               log=print, label_filter: Optional[str] = None) -> SweepResult:
@@ -227,6 +297,11 @@ class Tuner:
                 break
             tried += 1
             log(f"[{self.spec.name}] {i + 1}/{len(cands)}: {label}")
+            if self.keep_artifacts:
+                # reference behaviour: cu/<cfg>.cu for every attempted
+                # config (tuning.py:149-151) — written BEFORE measuring so
+                # failed/hung configs leave a debuggable artifact too
+                self._emit_artifact(cand.cfg, log)
             try:
                 entry = self._measure_with_timeout(cand)
             except Exception as e:  # Mosaic/compile/VMEM errors: skip+log
@@ -285,9 +360,15 @@ class Tuner:
         """Persist the winning config's generated program under
         ``out_dir/cu/<stencil>__<label>.py`` — the inspectable-artifact
         property of the reference sweep (starter.sh:3-4 keeps
-        cu/<cfg>.cu per config; we keep the winner).  Soft-fail: artifact
-        emission must never kill a sweep."""
+        cu/<cfg>.cu per config; we keep the winner, or every attempted
+        config with keep_artifacts).  Soft-fail: artifact emission must
+        never kill a sweep."""
         if cfg.variant != "stream":
+            return
+        if cfg.factor:
+            # the native emit ABI has no factor parameter; emitting would
+            # write a '..._fac'-labeled artifact containing the plain
+            # kernel — silently wrong, so skip (like the variant guard)
             return
         try:
             from drstencil_tpu import native_bridge
@@ -324,13 +405,25 @@ def main(argv=None):
                     help="fnmatch glob over config labels, e.g. "
                     "'stream_fu2_*ch8*roll' — targeted mini-sweeps")
     ap.add_argument("--no-check", action="store_true")
+    ap.add_argument("--isolate", action="store_true",
+                    help="measure each config in its own subprocess with a "
+                    "hard kill at the per-config timeout (survives Mosaic "
+                    "compile hangs; reference parity: per-config nvcc)")
+    ap.add_argument("--keep-artifacts", action="store_true",
+                    help="write cu/<cfg>.py for every attempted config "
+                    "(reference behaviour), not just the winner")
+    ap.add_argument("--config-timeout", type=float, default=420.0,
+                    help="per-config cap in seconds (hard kill with "
+                    "--isolate, SIGALRM otherwise)")
     args = ap.parse_args(argv)
 
     from drstencil_tpu.ir.spec import load_stc
 
     spec = load_stc(args.stc)
     tuner = Tuner(spec, args.out_dir, time_budget_s=args.budget,
-                  pairs=args.pairs, check=not args.no_check)
+                  pairs=args.pairs, check=not args.no_check,
+                  isolate=args.isolate, keep_artifacts=args.keep_artifacts,
+                  config_timeout_s=args.config_timeout)
     res = tuner.sweep(max_configs=args.max_configs,
                       label_filter=args.filter)
     print(
