@@ -53,6 +53,14 @@ class KernelConfig:
     # rolls per level; requires a solvable table, implies level-wise
     # (trapezoid-style) application
     factor: bool = False
+    # value-fused trapezoid: intermediate levels are computed chunk-
+    # locally as VALUES (registers) instead of round-tripping through
+    # VMEM scratch — saves the scratch write+read per level at the cost
+    # of 2*hr_b overlap rows recomputed per chunk.  Requires trapezoid,
+    # roll lane-mode, step < DEEP_LEVELS, not factor.  Same plan and
+    # summation order as the scratch path; results differ only by ~1 ulp
+    # from compiler FMA contraction across the removed store boundary.
+    vfuse: bool = False
     # run kernels in the Pallas interpreter (for off-TPU tests)
     interpret: bool = False
 
@@ -81,6 +89,8 @@ class KernelConfig:
             parts.append(f"ch{self.ch}")
         if self.trapezoid:
             parts.append("trap")
+        if self.vfuse:
+            parts.append("vf")
         if self.factor:
             parts.append("fac")
         if self.lane_mode:

@@ -439,6 +439,22 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
     # residual terms need the 2-back level alive: 3 rotating scratch
     # buffers instead of 2
     n_scr = 3 if cfg.factor else 2
+    # value-fused trapezoid: no scratch at all — levels chain through
+    # chunk-local VALUES (see cfg.vfuse)
+    vfuse = bool(cfg.vfuse)
+    if vfuse:
+        if not (cfg.trapezoid and an.step > 1):
+            raise ValueError("vfuse requires trapezoid with step > 1")
+        if cfg.factor:
+            raise ValueError("vfuse is incompatible with factor mode")
+        if an.step >= DEEP_LEVELS:
+            raise ValueError("vfuse requires step < DEEP_LEVELS")
+        if g.pc:
+            raise ValueError(
+                "vfuse requires roll lane-mode (pc=0): slice-mode inners "
+                "are width N, but chained levels need width-wb inputs"
+            )
+        n_scr = 0
     # Deep trapezoids (step >= DEEP_LEVELS) fully unrolled blow up Mosaic
     # (multi-minute compiles immune to SIGALRM, remote-compile 500s —
     # round-1 2d25pt_box ledger).  Bound the text: intermediate levels
@@ -568,6 +584,24 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
             # coefficient-fused) tap set straight from the window
             for base in range(0, tm, ch):
                 write_ext(chunk_acc(a_ref, fused_plan, hc, base, ch), base, ch)
+        elif vfuse:
+            # value-fused trapezoid: every level of a chunk's pyramid is
+            # computed in VALUES before anything is stored — the scratch
+            # write+read per intermediate level (a full VMEM round-trip
+            # of the strip, measured ~0.14 ms/step of 2d9pt_star's 0.45
+            # pass floor) disappears, at the cost of recomputing the
+            # 2*hr_b overlap rows between adjacent chunks per level.
+            # Same plan and summation order as the scratch path; outputs
+            # agree to ~1 fp32 ulp (the compiler may contract mul+add
+            # into FMA across the removed store boundary, which a
+            # materialized scratch intermediate forbids).
+            for base in range(0, tm, ch):
+                ext = 2 * hr_b * (s_levels - 1)
+                v = chunk_acc(a_ref, schedule[0][0], hr_b, base, ch + ext)
+                for t in range(2, s_levels + 1):
+                    ext -= 2 * hr_b
+                    v = chunk_acc(v, schedule[t - 1][0], hr_b, 0, ch + ext)
+                write_ext(v, base, ch)
         elif not deep:
             # trapezoid/factored: level t covers window rows shifted by
             # t*hr_b, length window - 2*t*hr_b; final level is the ext

@@ -36,8 +36,16 @@ def apply_interior(an: Analysis):
             sl = jax.lax.slice(
                 src, start, tuple(s + i for s, i in zip(start, inner))
             )
-            term = jnp.asarray(coe, src.dtype) * sl
+            # accumulate in fp32 regardless of the state dtype: the
+            # stream kernel computes every level in fp32 and rounds once
+            # at the store, so a bf16-accumulating gold would diverge by
+            # ~taps·2^-8 per step and force a uselessly loose device-check
+            # tolerance (round-2 VERDICT weak #6).  One fp32 round-trip
+            # also matches TPU-native mixed-precision practice.
+            term = jnp.asarray(coe, jnp.float32) * sl.astype(jnp.float32)
             acc = term if acc is None else acc + term
-        return jax.lax.dynamic_update_slice(dst, acc, (halo,) * nd)
+        return jax.lax.dynamic_update_slice(
+            dst, acc.astype(src.dtype), (halo,) * nd
+        )
 
     return f

@@ -69,9 +69,9 @@ def emit_artifact(spec, cfg: KernelConfig, out_dir: str) -> None:
     """Keep the winner's generated program in out_dir/cu/ in sync with
     tuned.json (the tuner does this during sweeps; a finalist selection
     changes winners too).  Soft-fail like the tuner's emitter."""
-    if cfg.variant != "stream" or cfg.factor:
-        # no native emit ABI for factor mode — an artifact would contain
-        # the plain kernel under a '..._fac' label (see tuner._emit_artifact)
+    if cfg.variant != "stream" or cfg.factor or cfg.vfuse:
+        # no native emit ABI for factor/vfuse — an artifact would contain
+        # the plain kernel under a wrong label (see tuner._emit_artifact)
         return
     try:
         from drstencil_tpu import native_bridge

@@ -57,7 +57,7 @@ def vmem_estimate(spec: StencilSpec, cfg: KernelConfig) -> Optional[Candidate]:
     )
     if cfg.factor:
         bytes_ += 4 * g.window * g.wb * min(2 * cfg.step - 1, 3)
-    elif cfg.trapezoid and cfg.step > 1:
+    elif cfg.trapezoid and cfg.step > 1 and not cfg.vfuse:
         bytes_ += 4 * g.window * g.wb * min(cfg.step - 1, 2)  # level scratch
     if bytes_ > VMEM_BUDGET_BYTES:
         return None
@@ -118,17 +118,25 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
                     continue
             if ch is not None and tm % ch:
                 continue
-            cand = vmem_estimate(
-                spec, KernelConfig(variant="stream", step=step, tm=tm,
-                                   lane_mode=lm, trapezoid=trap, ch=ch)
-            )
-            if cand is None:
-                continue
-            key = cand.cfg.label()
-            if key in seen:
-                continue
-            seen.add(key)
-            yield cand
+            # value-fused trapezoid (cfg.vfuse): the scratch round-trip
+            # between levels disappears — sweep it alongside the scratch
+            # path wherever it is legal (trapezoid, roll mode, step < 5)
+            vfs = (False, True) if (
+                trap and lm != "slice" and step < stream_mod.DEEP_LEVELS
+            ) else (False,)
+            for vf in vfs:
+                cand = vmem_estimate(
+                    spec, KernelConfig(variant="stream", step=step, tm=tm,
+                                       lane_mode=lm, trapezoid=trap, ch=ch,
+                                       vfuse=vf)
+                )
+                if cand is None:
+                    continue
+                key = cand.cfg.label()
+                if key in seen:
+                    continue
+                seen.add(key)
+                yield cand
         # NOTE: cfg.factor (ir/factor.py convolution factorization) is
         # deliberately NOT swept: measured on v5e it loses ~1.4x to the
         # plain trapezoid (per-level fixed cost dominates; see the

@@ -48,9 +48,16 @@ char* drs_analyze(const char* stc_text, const char* name, int step,
 char* drs_emit(const char* stc_text, const char* name, int step, int distance,
                int merge_forward, int tm, int check, int gold_only,
                const char* dtype, int trapezoid, const char* lane_mode,
-               int ch) {
+               int ch, int shards) {
     try {
         drs::Spec spec = drs::parse_stc(stc_text, name ? name : "stencil");
+        if (shards > 0) {
+            // shard mode: kernel geometry is the per-shard problem; the
+            // emitter reconstructs the global dims as local * shards
+            if (spec.dims[0] % shards)
+                throw drs::StcError("leading dim not divisible by shards");
+            spec.dims[0] /= shards;
+        }
         drs::Analysis an = drs::analyze(spec, step, distance, merge_forward);
         drs::EmitConfig cfg;
         cfg.tm = tm;
@@ -60,6 +67,7 @@ char* drs_emit(const char* stc_text, const char* name, int step, int distance,
         if (dtype && *dtype) cfg.dtype = dtype;
         cfg.trapezoid = trapezoid != 0;
         if (lane_mode && *lane_mode) cfg.lane_mode = lane_mode;
+        cfg.shards = shards;
         return dup_string(drs::emit_program(an, cfg, "(via libdrstencil)"));
     } catch (const std::exception& e) {
         return error_json(e.what());
@@ -68,6 +76,6 @@ char* drs_emit(const char* stc_text, const char* name, int step, int distance,
 
 void drs_free(char* p) { std::free(p); }
 
-int drs_abi_version() { return 3; }
+int drs_abi_version() { return 4; }
 
 }  // extern "C"

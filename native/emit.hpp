@@ -36,6 +36,11 @@ struct EmitConfig {
     std::string dtype = "float32";
     std::string lane_mode;  // "", "slice", "roll"
     bool trapezoid = false; // multi-step-in-VMEM instead of coeff fusion
+    // Multi-chip: emit the shard-local (row_frame=False) kernel under a
+    // shard_map over an `shards`-device mesh with ppermute halo exchange
+    // (mirrors drstencil_tpu/parallel/stream_shard.py).  The caller
+    // passes the LOCAL spec (leading dim divided by shards); 0 = off.
+    int shards = 0;
     // Reference knobs with no TPU meaning, recorded for provenance:
     int by = 16, sn = 16, stream_unroll = 4;
     int bmx = 1, bmy = 1, cmx = 1, cmy = 1;
@@ -116,6 +121,12 @@ inline std::string emit_program(const Analysis& an, const EmitConfig& cfg,
     const bool is3d = spec.ndim() == 3;
     const long h = an.halo();
     EmitGeom g = make_geom(an, cfg);
+    // shard mode: spec/geometry are the LOCAL problem; the generated
+    // program's DIMS stay global (leading dim = local * shards)
+    const bool shard = cfg.shards > 0;
+    const long shards = shard ? cfg.shards : 1;
+    std::vector<long> global_dims = spec.dims;
+    global_dims[0] *= shards;
 
     // taps as (row shift, lane shift, coeff), sorted like the library
     std::map<std::pair<long, long>, double> taps;
@@ -168,7 +179,11 @@ inline std::string emit_program(const Analysis& an, const EmitConfig& cfg,
     o << "import argparse, time\n";
     o << "import numpy as np\n";
 
-    o << "\nDIMS = " << dims_tuple(spec.dims) << "\n";
+    o << "\nDIMS = " << dims_tuple(global_dims) << "\n";
+    if (shard)
+        o << "DIMS_LOCAL = " << dims_tuple(spec.dims)
+          << "  # per-shard problem (kernel geometry below is local)\n"
+          << "NSHARDS = " << shards << "\n";
     o << "ITERATIONS = " << spec.iterations << "\n";
     o << "STEP = " << an.step << "\n";
     o << "H = " << h << "\n";
@@ -447,7 +462,9 @@ if __name__ == "__main__":
     };
 
     if (!trap) {
-        o << "\n\ndef kernel(a_ref, lo_ref, hi_ref, face_ref, o_ref, carry):\n";
+        o << "\n\ndef kernel(a_ref, "
+          << (shard ? "" : "lo_ref, hi_ref, ")
+          << "face_ref, o_ref, carry):\n";
         o << "    i = pl.program_id(0)\n";
         o << "    o_ref[0:HROW, PC : PC + N] = carry[...]\n";
         o << "\n    def chunk_acc(base):\n";
@@ -472,7 +489,9 @@ if __name__ == "__main__":
         o << "HRB = " << hr_b << "   # base-operator row halo per level\n";
         o << "NLEVELS = " << an.step << "\n";
         o << "NSCRATCH = " << n_scratch << "\n";
-        o << "\n\ndef kernel(a_ref, lo_ref, hi_ref, face_ref, o_ref, carry, *lv):\n";
+        o << "\n\ndef kernel(a_ref, "
+          << (shard ? "" : "lo_ref, hi_ref, ")
+          << "face_ref, o_ref, carry, *lv):\n";
         o << "    i = pl.program_id(0)\n";
         o << "    o_ref[0:HROW, PC : PC + N] = carry[...]\n";
         o << "\n    def level_acc(src, base, cs):\n";
@@ -553,8 +572,13 @@ if __name__ == "__main__":
               << "[" << src << ":" << (src + ln) << "]\n";
         }
     };
-    emit_segs("lo_ref", lo_segs);
-    emit_segs("hi_ref", hi_segs);
+    if (!shard) {
+        // the global Dirichlet row frame is composited in-kernel only in
+        // single-chip mode; the shard-local kernel (row_frame=False)
+        // leaves edge rows to the host-side shard_map wrapper
+        emit_segs("lo_ref", lo_segs);
+        emit_segs("hi_ref", hi_segs);
+    }
 
     // ---- pallas_call wiring + host protocol ----------------------------
     o << R"PY(
@@ -566,9 +590,12 @@ def build_call(interpret):
     in_specs = [
         pl.BlockSpec((pl.Element(TM + 2 * HK + WSLACK), pl.Element(WB)),
                      win_map, memory_space=pltpu.VMEM),
+)PY";
+    if (!shard)
+        o << R"PY(        pl.BlockSpec((FR, WB), const_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((FR, WB), const_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((FR, WB), const_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((TM, 2 * H), tile_map, memory_space=pltpu.VMEM),
+)PY";
+    o << R"PY(        pl.BlockSpec((TM, 2 * H), tile_map, memory_space=pltpu.VMEM),
     ]
     dt = jnp.dtype(DTYPE)
     return pl.pallas_call(
@@ -607,7 +634,150 @@ def make_slabs(x):
 
 def device_sync(x):
     return float(jax.jit(lambda v: jnp.sum(v[:1, :8].astype(jnp.float32)))(x))
+)PY";
 
+    if (shard) {
+        // ---- shard-mode host: shard_map + ppermute halo exchange, the
+        // emitted mirror of parallel/stream_shard.py (bit-identical ops:
+        // test_native.test_emitted_matches_library_shard) --------------
+        o << R"PY(
+
+from functools import partial
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def build_sharded(interpret, devices=None):
+    """(pair, sharding): jitted ping-pong pair over an NSHARDS-device
+    1-axis mesh.  Inputs are the stacked per-shard padded buffers and
+    frame slabs produced by shard_state."""
+    if devices is None:
+        devices = jax.devices()[:NSHARDS]
+    if len(devices) < NSHARDS:
+        raise SystemExit(f"need {NSHARDS} devices, have {len(devices)}")
+    mesh = Mesh(np.array(devices[:NSHARDS]), ("x",))
+    call = build_call(interpret)
+
+    def base_apply(src, slabs):
+        face = slabs[0]
+        out = call(src, face)
+        if FLAT3D:
+            jframe = slabs[1]
+            v = out.reshape(ROWS_PADDED // MID, MID, WB)
+            v = jax.lax.dynamic_update_slice(v, jframe[:, :H, :], (0, 0, 0))
+            v = jax.lax.dynamic_update_slice(v, jframe[:, H:, :],
+                                             (0, MID - H, 0))
+            out = v.reshape(ROWS_PADDED, WB)
+        return out
+
+    def local_apply(a, b, face_b, *jframe_b):
+        idx = jax.lax.axis_index("x")
+        bot = a[PR : PR + HROW]
+        top = a[PR + R - HROW : PR + R]
+        from_prev = jax.lax.ppermute(
+            top, "x", [(i, i + 1) for i in range(NSHARDS - 1)])
+        from_next = jax.lax.ppermute(
+            bot, "x", [(i + 1, i) for i in range(NSHARDS - 1)])
+        a = jax.lax.dynamic_update_slice(a, from_prev, (PR - HROW, 0))
+        a = jax.lax.dynamic_update_slice(a, from_next, (PR + R, 0))
+        out = base_apply(a, (face_b,) + tuple(jframe_b))
+        lo_sel = jnp.where(idx == 0, b[PR : PR + FR], out[PR : PR + FR])
+        hi_sel = jnp.where(idx == NSHARDS - 1, b[PR + R - FR : PR + R],
+                           out[PR + R - FR : PR + R])
+        out = jax.lax.dynamic_update_slice(out, lo_sel, (PR, 0))
+        out = jax.lax.dynamic_update_slice(out, hi_sel, (PR + R - FR, 0))
+        return out
+
+    spec_rows = P("x", None)
+    nslab = 3 if FLAT3D else 2
+    apply_fn = shard_map(
+        local_apply, mesh=mesh,
+        in_specs=(spec_rows,) * (2 + nslab - 1),
+        out_specs=spec_rows, check_rep=False)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def pair(a, b, slabs_a, slabs_b):
+        b = apply_fn(a, b, *slabs_b)
+        a = apply_fn(b, a, *slabs_a)
+        return a, b
+
+    return pair, NamedSharding(mesh, spec_rows)
+
+
+def shard_state(x):
+    """Global real array -> (stacked_padded, stacked_face[, stacked_jframe])
+    numpy arrays of shape (NSHARDS * per_shard, ...)."""
+    blocks = np.split(np.asarray(x).reshape((NSHARDS * R,) + (N,)), NSHARDS,
+                      axis=0)
+    padded, faces, jframes = [], [], []
+    for blk in blocks:
+        padded.append(pad_state(blk))
+        slabs = make_slabs(blk)
+        faces.append(slabs[2])
+        if FLAT3D:
+            jframes.append(slabs[3])
+    out = [np.concatenate(padded), np.concatenate(faces)]
+    if FLAT3D:
+        out.append(np.concatenate(jframes))
+    return tuple(out)
+
+
+def unshard_state(stacked):
+    blocks = np.split(np.asarray(stacked), NSHARDS, axis=0)
+    real = [b[PR : PR + R, PC : PC + N] for b in blocks]
+    return np.concatenate(real, axis=0).reshape(DIMS)
+
+
+def main():
+    ap = argparse.ArgumentParser(description="generated sharded TPU stencil program")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pairs", type=int, default=max(1, -(-ITERATIONS // (2 * STEP))))
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--check", action="store_true")
+    ap.add_argument("--interpret", action="store_true")
+    args = ap.parse_args()
+
+    dt = np.dtype(DTYPE)
+    a0, b0 = init_state(args.seed, dt)
+    pair, sharding = build_sharded(args.interpret)
+    sa = shard_state(a0)
+    sb = shard_state(b0)
+    a = jax.device_put(sa[0], sharding)
+    b = jax.device_put(sb[0], sharding)
+    slabs_a = tuple(jax.device_put(s, sharding) for s in sa[1:])
+    slabs_b = tuple(jax.device_put(s, sharding) for s in sb[1:])
+
+    for _ in range(args.warmup):
+        a, b = pair(a, b, slabs_a, slabs_b)
+    device_sync(a)
+    t0 = time.perf_counter()
+    for _ in range(args.pairs):
+        a, b = pair(a, b, slabs_a, slabs_b)
+    device_sync(a)
+    print(f"TPU computation time: {1000*(time.perf_counter()-t0):.3f} ms")
+
+    if args.check:
+        ga, gb = a0.astype(np.float64), b0.astype(np.float64)
+        for _ in range(args.warmup + args.pairs):
+            gb = golden_apply(ga, gb)
+            ga = golden_apply(gb, ga)
+        got = unshard_state(np.asarray(a))
+        itr = tuple(slice(H, d - H) for d in DIMS)
+        diff = np.abs(got[itr].astype(np.float64) - ga[itr])
+        rms = float(np.sqrt(np.mean(diff ** 2)))
+        print(f"[Test] Max Error: {float(diff.max()):e}")
+        print(f"[Test] RMS Error: {rms:e}")
+        scale = max(float(np.max(np.abs(ga[itr]))), 1.0)
+        print(f"[Test] Max Relative Error: {float(diff.max()) / scale:e}")
+
+
+if __name__ == "__main__":
+    main()
+)PY";
+        return o.str();
+    }
+
+    o << R"PY(
 
 def main():
     ap = argparse.ArgumentParser(description="generated TPU stencil program")

@@ -52,6 +52,10 @@ Options:
 --ch <rows>             Accumulation chunk rows (must divide tile rows,
                         multiple of 8; default: auto ~2MB temporaries).
 
+--shard <n>             Emit the multi-chip program: the shard-local kernel
+                        under a shard_map over an n-device mesh with
+                        ppermute halo exchange (leading dim must divide by n).
+
 --check                 Emit the fp64 golden check path (--check at runtime).
 
 --gold                  Emit a golden-model-only program.
@@ -107,6 +111,7 @@ int main(int argc, char** argv) {
         else if (a == "--dtype") ecfg.dtype = need_val(i);
         else if (a == "--lane-mode") ecfg.lane_mode = need_val(i);
         else if (a == "--trapezoid") ecfg.trapezoid = true;
+        else if (a == "--shard") ecfg.shards = std::atoi(need_val(i));
         else if (a == "--check") ecfg.check = true;
         else if (a == "--gold") ecfg.gold_only = true;
         else if (a == "--dump-analysis") dump = true;
@@ -127,6 +132,18 @@ int main(int argc, char** argv) {
             std::cout << "--3d given but " << spec.name
                       << ".stc has no L dimension" << std::endl;
             return -1;
+        }
+        if (ecfg.shards > 0) {
+            // shard mode: the kernel geometry is the per-shard problem
+            // (the analysis itself is dims-independent); the emitter
+            // reconstructs the global dims as local*shards
+            if (spec.dims[0] % ecfg.shards) {
+                std::cout << "Illegal input: leading dim " << spec.dims[0]
+                          << " not divisible by --shard " << ecfg.shards
+                          << std::endl;
+                return -1;
+            }
+            spec.dims[0] /= ecfg.shards;
         }
         drs::Analysis an = drs::analyze(spec, step, distance, merge_f);
 

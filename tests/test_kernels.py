@@ -152,6 +152,23 @@ def test_bfloat16_state():
     assert rms < 0.5
 
 
+def test_bfloat16_tight_device_check_gate():
+    """Both the stream kernel and the XLA gold accumulate in fp32 and
+    round to bf16 once per launch, so the device check must pass the
+    TIGHT bf16 tolerance (VERDICT r2 #5: 5e-2 -> 5e-3)."""
+    from drstencil_tpu.tune.tuner import CHECK_TOL
+
+    assert CHECK_TOL["bfloat16"] <= 1e-2
+    spec = small_spec("2d9pt_box", dims=(32, 256))
+    for step, trap in ((1, False), (2, True)):
+        prog = StencilProgram(
+            spec, KernelConfig(variant="stream", step=step, tm=16,
+                               trapezoid=trap, dtype="bfloat16",
+                               interpret=True))
+        diff = prog.device_check(seed=0, pairs=1)
+        assert diff <= CHECK_TOL["bfloat16"], (step, trap, diff)
+
+
 def test_asymmetric_wide_off_axis_rejected():
     """Stencils wider off-axis than on axis 0 would silently corrupt the
     interior (frame slabs too narrow) — must be rejected loudly."""
@@ -216,3 +233,34 @@ def test_deep_trapezoid_matches_golden():
     me, _ = golden.check_error(got, a, an.halo)
     scale = max(1.0, float(np.abs(a).max()))
     assert me / scale < 1e-5, f"rel={me / scale}"
+
+
+def test_vfuse_matches_scratch_trapezoid():
+    """Value-fused trapezoid (no VMEM scratch) agrees with the scratch
+    path to ~1 fp32 ulp (FMA contraction across the removed store is the
+    only permitted difference) for 2D and 3D."""
+    for name, dims, st, tm in (("2d9pt_star", (48, 256), 2, 16),
+                               ("2d9pt_cross", (48, 256), 3, 16),
+                               ("3d7pt_star", (24, 8, 256), 2, 24)):
+        spec = small_spec(name, dims=dims)
+        base = KernelConfig(variant="stream", step=st, tm=tm,
+                            trapezoid=True, lane_mode="roll",
+                            interpret=True)
+        a = StencilProgram(spec, base)
+        b = StencilProgram(spec, base.replace(vfuse=True))
+        sa = a.run_pairs(a.init_state(3), 1)
+        sb = b.run_pairs(b.init_state(3), 1)
+        ga, gb = a.final_a(sa), b.final_a(sb)
+        np.testing.assert_allclose(gb, ga, rtol=3e-6, atol=1e-3)
+
+
+def test_vfuse_guards():
+    spec = small_spec("2d9pt_star", dims=(48, 256))
+    with pytest.raises(ValueError, match="trapezoid"):
+        StencilProgram(spec, KernelConfig(variant="stream", step=1, tm=16,
+                                          vfuse=True, interpret=True))
+    with pytest.raises(ValueError, match="roll lane-mode"):
+        StencilProgram(spec, KernelConfig(variant="stream", step=2, tm=16,
+                                          trapezoid=True, vfuse=True,
+                                          lane_mode="slice",
+                                          interpret=True))
