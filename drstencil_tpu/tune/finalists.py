@@ -69,9 +69,9 @@ def emit_artifact(spec, cfg: KernelConfig, out_dir: str) -> None:
     """Keep the winner's generated program in out_dir/cu/ in sync with
     tuned.json (the tuner does this during sweeps; a finalist selection
     changes winners too).  Soft-fail like the tuner's emitter."""
-    if cfg.variant != "stream" or cfg.factor or cfg.vfuse:
-        # no native emit ABI for factor/vfuse — an artifact would contain
-        # the plain kernel under a wrong label (see tuner._emit_artifact)
+    if cfg.variant != "stream" or cfg.factor:
+        # no native emit ABI for factor mode — an artifact would contain
+        # the plain kernel under a '..._fac' label (see tuner._emit_artifact)
         return
     try:
         from drstencil_tpu import native_bridge
@@ -80,7 +80,7 @@ def emit_artifact(spec, cfg: KernelConfig, out_dir: str) -> None:
             spec.to_stc(), spec.name, step=cfg.step, distance=cfg.distance,
             merge_forward=cfg.merge_forward, tm=cfg.tm or 0, check=True,
             dtype=cfg.dtype, trapezoid=cfg.trapezoid,
-            lane_mode=cfg.lane_mode or "", ch=cfg.ch or 0,
+            lane_mode=cfg.lane_mode or "", ch=cfg.ch or 0, vfuse=cfg.vfuse,
         )
         cu_dir = os.path.join(out_dir, "cu")
         os.makedirs(cu_dir, exist_ok=True)

@@ -367,11 +367,10 @@ class Tuner:
         never kill a sweep."""
         if cfg.variant != "stream":
             return
-        if cfg.factor or cfg.vfuse:
-            # the native emit ABI has no factor/vfuse parameter; emitting
-            # would write a mislabeled artifact containing the plain
+        if cfg.factor:
+            # the native emit ABI has no factor parameter; emitting would
+            # write a '..._fac'-labeled artifact containing the plain
             # kernel — silently wrong, so skip (like the variant guard)
-            # (vfuse: until the emitter grows the value-fused level path)
             return
         try:
             from drstencil_tpu import native_bridge
@@ -381,7 +380,7 @@ class Tuner:
                 distance=cfg.distance, merge_forward=cfg.merge_forward,
                 tm=cfg.tm or 0, check=True, dtype=cfg.dtype,
                 trapezoid=cfg.trapezoid, lane_mode=cfg.lane_mode or "",
-                ch=cfg.ch or 0,
+                ch=cfg.ch or 0, vfuse=cfg.vfuse,
             )
             cu_dir = os.path.join(self.out_dir, "cu")
             os.makedirs(cu_dir, exist_ok=True)

@@ -36,6 +36,7 @@ struct EmitConfig {
     std::string dtype = "float32";
     std::string lane_mode;  // "", "slice", "roll"
     bool trapezoid = false; // multi-step-in-VMEM instead of coeff fusion
+    bool vfuse = false;     // value-fused trapezoid levels (no scratch)
     // Multi-chip: emit the shard-local (row_frame=False) kernel under a
     // shard_map over an `shards`-device mesh with ppermute halo exchange
     // (mirrors drstencil_tpu/parallel/stream_shard.py).  The caller
@@ -135,6 +136,8 @@ inline std::string emit_program(const Analysis& an, const EmitConfig& cfg,
         taps[{d, off.back()}] = coe;
     }
     const bool trap = cfg.trapezoid && an.step > 1;
+    if (cfg.vfuse && !trap)
+        throw StcError("--vfuse requires --trapezoid with --step > 1");
     std::map<std::pair<long, long>, double> base_taps;
     long hr_b = 0;
     if (trap) {
@@ -481,11 +484,18 @@ if __name__ == "__main__":
             carry[lo : base + CH - (TM - HROW)] = acc[cut:CH]
 )PY";
     } else {
-        long n_scratch = std::min<long>(an.step - 1, 2);
         // deep trapezoids (step >= 5, mirroring stream.DEEP_LEVELS):
         // intermediate levels via fori_loop over constant-length chunks
         // (fully-unrolled deep levels blow up Mosaic)
         const bool deep = an.step >= 5;
+        if (cfg.vfuse) {
+            // mirror of stream.build_stream_kernel's vfuse guards
+            if (deep) throw StcError("--vfuse requires --step < 5");
+            if (g.pc != 0)
+                throw StcError("--vfuse requires roll lane-mode (pc=0)");
+        }
+        long n_scratch =
+            cfg.vfuse ? 0 : std::min<long>(an.step - 1, 2);
         o << "HRB = " << hr_b << "   # base-operator row halo per level\n";
         o << "NLEVELS = " << an.step << "\n";
         o << "NSCRATCH = " << n_scratch << "\n";
@@ -497,7 +507,27 @@ if __name__ == "__main__":
         o << "\n    def level_acc(src, base, cs):\n";
         emit_plan(base_taps, "src", hr_b, "cs", "        ", deep);
         o << "        return acc\n";
-        if (!deep) {
+        if (cfg.vfuse) {
+            // value-fused levels: each chunk's whole pyramid in VALUES,
+            // no scratch round-trip (mirror of stream vfuse branch)
+            o << R"PY(
+    EXT0 = 2 * HRB * (NLEVELS - 1)
+    for base in range(0, TM, CH):
+        ext = EXT0
+        v = level_acc(a_ref, base, CH + ext)
+        for t in range(2, NLEVELS + 1):
+            ext -= 2 * HRB
+            v = level_acc(v, 0, CH + ext)
+        acc = v.astype(jnp.)PY" << cfg.dtype
+              << R"PY()
+        cut = min(max(TM - HROW - base, 0), CH)
+        if cut > 0:
+            o_ref[HROW + base : HROW + base + cut, PC : PC + N] = acc[0:cut]
+        if cut < CH:
+            lo = base + cut - (TM - HROW)
+            carry[lo : base + CH - (TM - HROW)] = acc[cut:CH]
+)PY";
+        } else if (!deep) {
             // tail chunks get their own expressions per exact chunk size
             // via the static python loop
             o << R"PY(

@@ -49,6 +49,9 @@ Options:
 
 --lane-mode <m>         Lane-shift strategy: slice | roll (default: auto).
 
+--vfuse                 With --trapezoid: chain intermediate levels through
+                        chunk-local values instead of VMEM scratch.
+
 --ch <rows>             Accumulation chunk rows (must divide tile rows,
                         multiple of 8; default: auto ~2MB temporaries).
 
@@ -112,6 +115,7 @@ int main(int argc, char** argv) {
         else if (a == "--lane-mode") ecfg.lane_mode = need_val(i);
         else if (a == "--trapezoid") ecfg.trapezoid = true;
         else if (a == "--shard") ecfg.shards = std::atoi(need_val(i));
+        else if (a == "--vfuse") ecfg.vfuse = true;
         else if (a == "--check") ecfg.check = true;
         else if (a == "--gold") ecfg.gold_only = true;
         else if (a == "--dump-analysis") dump = true;
