@@ -120,10 +120,16 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
                 continue
             # value-fused trapezoid (cfg.vfuse): the scratch round-trip
             # between levels disappears — sweep it alongside the scratch
-            # path wherever it is legal (trapezoid, roll mode, step < 5)
+            # path wherever it is legal (trapezoid, roll mode, step < 5).
+            # Small chunks are excluded: chunks × levels unroll into the
+            # kernel text (a tm512/ch8/fu3 candidate = 192 chunk blocks,
+            # multi-minute Mosaic compile) and small ch maximizes the
+            # overlap recompute vfuse pays — ch >= 32 or auto only.
             vfs = (False, True) if (
                 trap and lm != "slice" and step < stream_mod.DEEP_LEVELS
             ) else (False,)
+            if ch is not None and ch < 32:
+                vfs = (False,)
             for vf in vfs:
                 cand = vmem_estimate(
                     spec, KernelConfig(variant="stream", step=step, tm=tm,
