@@ -37,6 +37,12 @@ def main(argv=None):
     ap.add_argument("--ch", type=int, default=0,
                     help="accumulation chunk rows (must divide tile rows, "
                     "multiple of 8; 0 = auto ~2MB temporaries)")
+    ap.add_argument("--vfuse", action="store_true",
+                    help="with --trapezoid: chain intermediate levels "
+                    "through chunk-local values instead of VMEM scratch")
+    ap.add_argument("--shard", type=int, default=0,
+                    help="emit the multi-chip program over an n-device "
+                    "mesh (shard_map + ppermute halo exchange)")
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--gold", action="store_true")
     ap.add_argument("--dump-analysis", action="store_true")
@@ -60,6 +66,7 @@ def main(argv=None):
             merge_forward=args.merge_forward, tm=args.bx,
             check=args.check, gold_only=args.gold, dtype=args.dtype,
             trapezoid=args.trapezoid, lane_mode=args.lane_mode, ch=args.ch,
+            shards=args.shard, vfuse=args.vfuse,
         )
     except native_bridge.NativeError as e:
         print(str(e), file=sys.stderr)

@@ -420,3 +420,51 @@ def test_emitted_matches_library_vfuse(tmp_path):
         g["PR"] : g["PR"] + 64, g["PC"] : g["PC"] + g["N"]
     ]
     np.testing.assert_array_equal(gen_out, lib_out)
+
+
+def test_emitted_matches_library_shard_3d(tmp_path, cpu_devices):
+    """Shard emitter parity for 3D (exercises the per-shard jframe fixup
+    inside the shard_map local function)."""
+    import jax
+    from drstencil_tpu.ops.config import KernelConfig
+    from drstencil_tpu.parallel import halo, stream_shard
+    from drstencil_tpu.ir import golden as gold_mod
+
+    n = 4
+    devs = list(cpu_devices)[:n]
+    spec = small_spec("3d7pt_star", dims=(32, 8, 256))
+    cfg = KernelConfig(variant="stream", step=1, tm=24, lane_mode="roll",
+                       interpret=True)
+    mesh = halo.make_mesh(n, devices=devs)
+    pair, g_lib, sh = stream_shard.sharded_stream_pair(spec, cfg, mesh)
+    a0, b0 = gold_mod.random_state(spec, 5, dtype=np.float64)
+    a0, b0 = a0.astype(np.float32), b0.astype(np.float32)
+    sa = stream_shard.shard_state(a0, g_lib, n)
+    sb = stream_shard.shard_state(b0, g_lib, n)
+    args = [jax.device_put(x, sh) for x in (sa[0], sb[0])]
+    slabs_a = tuple(jax.device_put(s, sh) for s in sa[1:])
+    slabs_b = tuple(jax.device_put(s, sh) for s in sb[1:])
+    a, b = pair(args[0], args[1], slabs_a, slabs_b)
+    lib_out = stream_shard.unshard_state(np.asarray(a), g_lib, n)
+
+    body = "".join(f"{o[0]} {o[1]} {o[2]} {c}\n"
+                   for o, c in sorted(spec.taps.items()))
+    text = native_bridge.emit(
+        "L 32\nM 8\nN 256\niterations 4\nstencil\n" + body,
+        "tiny3d", step=1, tm=24, lane_mode="roll", shards=n,
+    )
+    assert "FLAT3D = True" in text
+    g = {"__name__": "gen"}
+    exec(compile(text, "gen_shard3d.py", "exec"), g)
+    gpair, gsh = g["build_sharded"](True, devs)
+    esa = g["shard_state"](a0)
+    esb = g["shard_state"](b0)
+    for e_arr, l_arr in zip(esa, sa):
+        np.testing.assert_array_equal(e_arr, l_arr)
+    ea = jax.device_put(esa[0], gsh)
+    eb = jax.device_put(esb[0], gsh)
+    ea, eb = gpair(ea, eb,
+                   tuple(jax.device_put(s, gsh) for s in esa[1:]),
+                   tuple(jax.device_put(s, gsh) for s in esb[1:]))
+    gen_out = g["unshard_state"](np.asarray(ea))
+    np.testing.assert_array_equal(gen_out, lib_out)
