@@ -11,9 +11,12 @@ ONE process (comparable per CLAUDE.md variance notes):
   nocombo   — col combos ablated to a single unshifted combination
               (loads + presums + 1 combo + store only)
 
-Usage: python tuning/exp_25pt.py [stencil] [fu] [tm] [ch]
+Usage: python tuning/exp_25pt.py [stencil] [fu] [tm] [ch] [variants]
+       EXP_LANE=slice to ablate a slice-mode config (e.g. 2d9pt_cross's
+       winner); EXP_VF=1 for the value-fused trapezoid.
 """
 
+import os
 import sys
 import functools
 
@@ -32,7 +35,9 @@ ch = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
 spec = load_stc(f"benchmarks/{name}.stc")
 cfg = KernelConfig(variant="stream", step=fu, tm=tm, ch=ch,
-                   trapezoid=(fu > 1), lane_mode="roll")
+                   trapezoid=(fu > 1),
+                   lane_mode=os.environ.get("EXP_LANE", "roll"),
+                   vfuse=bool(int(os.environ.get("EXP_VF", "0"))))
 
 orig_roll = sm._roll
 orig_plan = sm.plan_taps
