@@ -80,6 +80,25 @@ def test_entry_main_in_scrubbed_subprocess():
     assert "dryrun_multichip: ok" in proc.stdout
 
 
+@pytest.mark.slow
+def test_dryrun_survives_broken_default_backend():
+    """Simulate the driver-host failure mode that made MULTICHIP_r01/r02
+    red: a default backend whose initialization RAISES (there, a libtpu
+    version mismatch).  JAX_PLATFORMS=bogus makes every in-process
+    backend query raise, so dryrun_multichip must reach the scrubbed
+    pure-CPU subprocess fallback and still succeed."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "bogus_broken_tpu"
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as ge; ge.dryrun_multichip(8); "
+         "print('dryrun_multichip: ok')"],
+        env=env, capture_output=True, text=True, timeout=1200, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-4000:]
+    assert "dryrun_multichip: ok" in proc.stdout
+
+
 def test_scrubbed_env_detaches_every_tpu_hook():
     env = ge._scrubbed_cpu_env(8)
     assert env["JAX_PLATFORMS"] == "cpu"
