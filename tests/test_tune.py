@@ -321,3 +321,36 @@ def test_isolated_worker_measures_for_real(tmp_path, monkeypatch):
     assert entry["status"] == "ok"
     assert entry["ms_per_step"] > 0
     assert entry["config"]["tm"] == 16
+
+
+def test_finalist_medians_written_back_to_ledger(tmp_path):
+    """A lucky-draw raw minimum must not survive finalist re-measurement:
+    the median is folded back into the ledger so later argmin passes
+    (tuner record_best, reconcile_from_ledgers) see the honest number
+    (round-3 regression: 2d9pt_cross's refuted 0.5186 re-entered
+    tuned.json via the next sweep's ledger argmin)."""
+    from drstencil_tpu.tune.finalists import top_configs, writeback_medians
+
+    cfg = KernelConfig(variant="stream", step=2, tm=64, trapezoid=True)
+    lucky = {"status": "ok", "ms_per_step": 0.51,
+             "config": cfg.to_dict() if hasattr(cfg, "to_dict") else
+             __import__("dataclasses").asdict(cfg)}
+    honest = {"status": "ok", "ms_per_step": 0.66,
+              "config": dict(lucky["config"], tm=128)}
+    path = tmp_path / "fake.ledger.json"
+    path.write_text(json.dumps({"lucky": lucky, "honest": honest}))
+
+    writeback_medians(str(path), {"lucky": 0.73}, reps=3)
+
+    led = json.loads(path.read_text())
+    assert led["lucky"]["ms_per_step"] == 0.73
+    assert led["lucky"]["ms_per_step_sweep"] == 0.51
+    assert led["lucky"]["protocol"] == "median-of-3"
+    assert led["honest"]["ms_per_step"] == 0.66  # untouched
+    # the shortlist now ranks the honest config first
+    top = top_configs([str(path)], 2)
+    assert top[0][1] == "honest"
+    # idempotent: a second pass must not clobber the preserved raw value
+    writeback_medians(str(path), {"lucky": 0.74}, reps=3)
+    led = json.loads(path.read_text())
+    assert led["lucky"]["ms_per_step_sweep"] == 0.51
