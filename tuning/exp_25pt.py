@@ -81,6 +81,15 @@ def plan_nopresum(tap_list):
     return row_groups, cg, [None] * len(cg)
 
 
+def plan_noshift(tap_list):
+    # full plan, but every member shift forced to 0 (aligned read /
+    # no-op roll): isolates the pure lane-shift cost while keeping all
+    # presums, muls, chains, and adds
+    row_groups, col_groups, chains = orig_plan(tap_list)
+    return (row_groups,
+            [(cv, [0] * len(sl)) for cv, sl in col_groups], chains)
+
+
 def plan_tworolls(tap_list):
     # keep row presums + center and |s|=1 col groups only: 2 rolls
     row_groups, col_groups, _ = orig_plan(tap_list)
@@ -120,6 +129,8 @@ for tag in variants:
         sm.plan_taps = plan_loadsonly
     elif tag == "oneload":
         sm.plan_taps = plan_oneload
+    elif tag == "noshift":
+        sm.plan_taps = plan_noshift
     elif tag == "tworolls":
         sm.plan_taps = plan_tworolls
     elif tag == "nopresum":
