@@ -31,7 +31,7 @@ from drstencil_tpu.ops.runner import StencilProgram
 name = sys.argv[1] if len(sys.argv) > 1 else "2d25pt_box"
 fu = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 tm = int(sys.argv[3]) if len(sys.argv) > 3 else 96
-ch = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+ch = (None if sys.argv[4] == "-" else int(sys.argv[4])) if len(sys.argv) > 4 else 8
 
 spec = load_stc(f"benchmarks/{name}.stc")
 cfg = KernelConfig(variant="stream", step=fu, tm=tm, ch=ch,
