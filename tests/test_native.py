@@ -468,3 +468,56 @@ def test_emitted_matches_library_shard_3d(tmp_path, cpu_devices):
                    tuple(jax.device_put(s, gsh) for s in esb[1:]))
     gen_out = g["unshard_state"](np.asarray(ea))
     np.testing.assert_array_equal(gen_out, lib_out)
+
+
+def test_emitted_matches_library_vfuse_3d(tmp_path):
+    """Bit-identical parity for the 3D value-fused trapezoid: emitted
+    --vfuse program vs library vfuse kernel, including the out-of-kernel
+    j-frame fixup (two dynamic_update_slices on the reshape view) that
+    the emitted main() mirrors from ops/stream.py."""
+    import jax
+    from drstencil_tpu.ops.config import KernelConfig
+    from drstencil_tpu.ops.runner import StencilProgram
+    from drstencil_tpu.ir import golden as gold_mod
+
+    spec = small_spec("3d7pt_star", dims=(24, 8, 256))
+    cfg = KernelConfig(variant="stream", step=2, tm=24, trapezoid=True,
+                       vfuse=True, lane_mode="roll", interpret=True)
+    prog = StencilProgram(spec, cfg)
+    state = prog.init_state(7)
+    state = prog.run_pairs(state, 1)
+    lib_out = prog.final_a(state)
+
+    body = "".join(f"{o[0]} {o[1]} {o[2]} {c}\n"
+                   for o, c in sorted(spec.taps.items()))
+    text = native_bridge.emit(
+        "L 24\nM 8\nN 256\niterations 4\nstencil\n" + body,
+        "tiny3dvf", step=2, tm=24, trapezoid=True, lane_mode="roll",
+        vfuse=True,
+    )
+    assert "NSCRATCH = 0" in text and "FLAT3D = True" in text
+    g = {"__name__": "gen"}
+    exec(compile(text, "gen_vf3d.py", "exec"), g)
+    a0, b0 = gold_mod.random_state(spec, 7, dtype=np.float64)
+    a0, b0 = a0.astype(np.float32), b0.astype(np.float32)
+    call = g["build_call"](True)
+    MID, H, RP, WB = g["MID"], g["H"], g["ROWS_PADDED"], g["WB"]
+
+    def apply_fn(src, slabs):
+        lo, hi, face, jframe = slabs
+        out = call(src, lo, hi, face)
+        v = out.reshape(RP // MID, MID, WB)
+        v = jax.lax.dynamic_update_slice(v, jframe[:, :H, :], (0, 0, 0))
+        v = jax.lax.dynamic_update_slice(v, jframe[:, H:, :],
+                                         (0, MID - H, 0))
+        return v.reshape(RP, WB)
+
+    a = g["pad_state"](a0)
+    sa = g["make_slabs"](a0)
+    sb = g["make_slabs"](b0)
+    b = apply_fn(jax.numpy.asarray(a), tuple(map(jax.numpy.asarray, sb)))
+    a = apply_fn(b, tuple(map(jax.numpy.asarray, sa)))
+    gen_out = np.asarray(a)[
+        g["PR"] : g["PR"] + g["R"], g["PC"] : g["PC"] + g["N"]
+    ].reshape(spec.dims)
+    np.testing.assert_array_equal(gen_out, lib_out)
