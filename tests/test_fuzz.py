@@ -33,8 +33,10 @@ def test_fuzz_2d(seed):
     trap = bool(rng.integers(0, 2)) and step > 1
     tm = int(rng.choice([16, 24, 32]))
     lane = str(rng.choice(["roll", "slice"]))
+    # value-fused trapezoid rides the same validity domain (roll, step<5)
+    vf = bool(rng.integers(0, 2)) and trap and lane == "roll"
     cfg = KernelConfig(variant="stream", step=step, tm=tm, trapezoid=trap,
-                       lane_mode=lane, interpret=True)
+                       lane_mode=lane, vfuse=vf, interpret=True)
     try:
         prog = StencilProgram(spec, cfg)
     except (AnalysisError, ValueError):
@@ -85,8 +87,9 @@ def test_fuzz_3d(seed):
     spec = random_spec(rng, 3, (24, 16, 128))
     step = int(rng.integers(1, 3))
     trap = bool(rng.integers(0, 2)) and step > 1
+    vf = bool(rng.integers(0, 2)) and trap
     cfg = KernelConfig(variant="stream", step=step, tm=8 * (2 + 4 * step),
-                       trapezoid=trap, interpret=True)
+                       trapezoid=trap, vfuse=vf, interpret=True)
     try:
         prog = StencilProgram(spec, cfg)
     except (AnalysisError, ValueError):
