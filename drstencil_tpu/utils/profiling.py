@@ -23,16 +23,30 @@ from drstencil_tpu.ops.config import KernelConfig
 
 @contextlib.contextmanager
 def maybe_trace(trace_dir: str | None):
-    """jax.profiler trace if requested and supported; no-op otherwise."""
+    """jax.profiler trace if requested and supported; no-op otherwise.
+
+    A failure is still soft (tracing must never kill a session) but no
+    longer silent: the failing error is written to
+    ``<trace_dir>/trace_error.txt`` so "the platform can't trace" is a
+    recorded fact, not a guess (VERDICT.md r3 weak #5)."""
     if not trace_dir:
         yield False
         return
+    import os
+    import traceback
+
     import jax
 
     try:
         with jax.profiler.trace(trace_dir):
             yield True
     except Exception:
+        try:
+            os.makedirs(trace_dir, exist_ok=True)
+            with open(os.path.join(trace_dir, "trace_error.txt"), "w") as f:
+                f.write(traceback.format_exc())
+        except OSError:
+            pass
         yield False
 
 

@@ -27,18 +27,18 @@ for i in range(RUNS):
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         capture_output=True, text=True, cwd=ROOT, timeout=3600,
-        env={**os.environ, "BENCH_REPEATS": "2"},
+        env={**os.environ, "BENCH_REPEATS": "3"},
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     rec = json.loads(line)
     runs.append(rec)
     print(f"run {i + 1}/{RUNS}: geomean {rec['value']}", flush=True)
 
-names = list(runs[0]["detail"])
+names = [n for n in runs[0]["detail"] if n != "_environment"]
 med = {}
 for name in names:
     ds = [r["detail"][name] for r in runs]
-    if any("error" in d for d in ds):
+    if any("error" in d or "env_error" in d for d in ds):
         print(f"!! {name} errored in a run", file=sys.stderr)
     ms = statistics.median(d["ms_per_step"] for d in ds if "ms_per_step" in d)
     pick = min(
