@@ -7,7 +7,12 @@ Writes tuning/trace/ with either profiler artifacts (success) or
 trace_error.txt carrying the full failing traceback (documented
 platform limitation).  Prints a one-line verdict either way.
 
-Run: PYTHONPATH=/root/repo:$PYTHONPATH python tuning/capture_trace.py
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tuning/capture_trace.py \
+         [stencil=2d5pt_star] [trace_subdir=trace]
+
+With a stencil argument the TUNED winner config is traced (per-launch
+device durations for the production kernel); the default traces a plain
+step-1 2d5pt_star.
 """
 
 import glob
@@ -24,10 +29,20 @@ from drstencil_tpu.utils.profiling import maybe_trace
 
 
 def main():
-    trace_dir = os.path.join(ROOT, "tuning", "trace")
-    spec = load_stc(os.path.join(ROOT, "benchmarks", "2d5pt_star.stc"))
-    prog = StencilProgram(spec, KernelConfig(variant="stream", step=1,
-                                             tm=256))
+    name = sys.argv[1] if len(sys.argv) > 1 else None
+    sub = sys.argv[2] if len(sys.argv) > 2 else "trace"
+    trace_dir = os.path.join(ROOT, "tuning", sub)
+    if name:
+        from drstencil_tpu.tune.tuned import best_config
+
+        spec = load_stc(os.path.join(ROOT, "benchmarks", name + ".stc"))
+        cfg = best_config(name)
+        print(f"tracing {name} winner: {cfg.label()}")
+        prog = StencilProgram(spec, cfg)
+    else:
+        spec = load_stc(os.path.join(ROOT, "benchmarks", "2d5pt_star.stc"))
+        prog = StencilProgram(spec, KernelConfig(variant="stream", step=1,
+                                                 tm=256))
     with maybe_trace(trace_dir) as active:
         prog.time(pairs=2, warmup_pairs=1)
     artifacts = [
