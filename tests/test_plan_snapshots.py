@@ -48,3 +48,32 @@ def test_base_plan_snapshot(name):
     assert rg == exp_rows
     assert [sl for _, sl in cg] == exp_cols
     assert [(c[0] if c else None) for c in chains] == exp_chain
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED))
+def test_mirrored_shifts_share_one_inner(name):
+    """The symmetric/antisymmetric-decomposition dividend, structurally.
+
+    For a symmetric coefficient table, decomposing mirrored lane shifts
+    into (u(s)+u(-s), u(s)-u(-s)) halves the combination multiplies
+    because the antisymmetric inner vanishes.  plan_taps realizes the
+    identical halving directly: +s and -s land in ONE column group
+    (their coefficient columns coincide) and share a single inner
+    combination, differing only in the final lane shift — so the
+    explicit decomposition cannot remove any further multiplies on
+    these tables.  Pin that invariant for every benchmark: each
+    nonzero shift's mirror sits in the same group."""
+    spec = load_stc(f"{BENCH_DIR}/{name}.stc")
+    mid = spec.dims[1] if len(spec.dims) == 3 else 1
+    tl = []
+    for off, c in sorted(spec.taps.items()):
+        d = off[0] * mid + off[1] if len(off) == 3 else off[0]
+        tl.append((d, off[-1], c))
+    tl.sort()
+    _, cg, _ = plan_taps(tl)
+    for _, shifts in cg:
+        for s in shifts:
+            if s:
+                assert -s in shifts, (
+                    f"{name}: shift {s} not mirrored in its group {shifts}"
+                )
