@@ -354,3 +354,29 @@ def test_finalist_medians_written_back_to_ledger(tmp_path):
     writeback_medians(str(path), {"lucky": 0.74}, reps=3)
     led = json.loads(path.read_text())
     assert led["lucky"]["ms_per_step_sweep"] == 0.51
+
+
+def test_shortlist_ranks_by_sol_objective_not_raw_ms(tmp_path):
+    """bf16 halves the roofline denominator, so a merely-faster bf16
+    config must not displace a better-SCORING fp32 one (load-bearing in
+    the 3D ledgers, where bf16 entries top the raw-ms ordering:
+    3d9pt_cross stream_fu2_tm3080_trap_bfloat16 0.7978 raw vs the fp32
+    winner 0.8367 — objective 1.5956 vs 0.8367)."""
+    from dataclasses import asdict
+
+    from drstencil_tpu.tune.finalists import top_configs
+
+    fp32 = KernelConfig(variant="stream", step=2, tm=64, trapezoid=True)
+    bf16 = KernelConfig(variant="stream", step=2, tm=64, trapezoid=True,
+                        dtype="bfloat16")
+    ledger = {
+        "fp32_cfg": {"status": "ok", "ms_per_step": 0.84,
+                     "config": asdict(fp32)},
+        "bf16_cfg": {"status": "ok", "ms_per_step": 0.80,  # faster raw ms
+                     "config": asdict(bf16)},
+    }
+    path = tmp_path / "fake.ledger.json"
+    path.write_text(json.dumps(ledger))
+    top = top_configs([str(path)], 2)
+    assert top[0][1] == "fp32_cfg"  # wins on SoL-normalized objective
+    assert top[1][1] == "bf16_cfg"
