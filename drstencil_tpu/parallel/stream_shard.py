@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from drstencil_tpu.ir.passes import Analysis, analyze
 from drstencil_tpu.ir.spec import StencilSpec
@@ -113,7 +113,7 @@ def build_sharded_stream(spec: StencilSpec, cfg: KernelConfig, mesh: Mesh,
     apply_fn = shard_map(
         local_apply, mesh=mesh,
         in_specs=(spec_rows,) * (3 + (1 if is3d else 0)),
-        out_specs=spec_rows, check_rep=False,
+        out_specs=spec_rows, check_vma=False,
     )
     return apply_fn, g, NamedSharding(mesh, spec_rows)
 

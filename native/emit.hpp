@@ -674,7 +674,7 @@ def device_sync(x):
 
 from functools import partial
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def build_sharded(interpret, devices=None):
@@ -723,7 +723,7 @@ def build_sharded(interpret, devices=None):
     apply_fn = shard_map(
         local_apply, mesh=mesh,
         in_specs=(spec_rows,) * (2 + nslab - 1),
-        out_specs=spec_rows, check_rep=False)
+        out_specs=spec_rows, check_vma=False)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def pair(a, b, slabs_a, slabs_b):

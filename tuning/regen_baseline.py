@@ -67,18 +67,21 @@ rows.append(
 )
 table = "\n".join(rows)
 
-path = os.path.join(ROOT, "BASELINE.md")
-text = open(path).read()
 marker_a = "<!-- RESULTS:BEGIN -->"
 marker_b = "<!-- RESULTS:END -->"
-if marker_a in text:
-    new = re.sub(
-        re.escape(marker_a) + r".*?" + re.escape(marker_b),
-        marker_a + "\n" + table + "\n" + marker_b,
-        text, flags=re.S,
-    )
-else:
-    new = text.rstrip() + f"\n\n{marker_a}\n{table}\n{marker_b}\n"
-open(path, "w").write(new)
-print("BASELINE.md updated")
+for fname in ("BASELINE.md", "README.md"):
+    path = os.path.join(ROOT, fname)
+    text = open(path).read()
+    if marker_a in text:
+        new = re.sub(
+            re.escape(marker_a) + r".*?" + re.escape(marker_b),
+            marker_a + "\n" + table + "\n" + marker_b,
+            text, flags=re.S,
+        )
+    elif fname == "BASELINE.md":
+        new = text.rstrip() + f"\n\n{marker_a}\n{table}\n{marker_b}\n"
+    else:
+        continue  # README without markers: leave untouched
+    open(path, "w").write(new)
+    print(f"{fname} updated")
 print(table)
