@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--vfuse", action="store_true",
                     help="with --trapezoid: chain intermediate levels "
                     "through chunk-local values instead of VMEM scratch")
+    ap.add_argument("--block", type=int, default=1,
+                    help="with --trapezoid: each level applies the "
+                    "block-step coefficient-fused base operator "
+                    "(step/block levels; default 1)")
     ap.add_argument("--shard", type=int, default=0,
                     help="emit the multi-chip program over an n-device "
                     "mesh (shard_map + ppermute halo exchange)")
@@ -66,7 +70,7 @@ def main(argv=None):
             merge_forward=args.merge_forward, tm=args.bx,
             check=args.check, gold_only=args.gold, dtype=args.dtype,
             trapezoid=args.trapezoid, lane_mode=args.lane_mode, ch=args.ch,
-            shards=args.shard, vfuse=args.vfuse,
+            shards=args.shard, vfuse=args.vfuse, block=args.block,
         )
     except native_bridge.NativeError as e:
         print(str(e), file=sys.stderr)

@@ -61,6 +61,15 @@ class KernelConfig:
     # summation order as the scratch path; results differ only by ~1 ulp
     # from compiler FMA contraction across the removed store boundary.
     vfuse: bool = False
+    # trapezoid level granularity: each level applies the `block`-step
+    # coefficient-fused base operator, so step/block levels advance
+    # `step` timesteps — the hybrid of the two fusion strategies.
+    # Halves (block=2) the per-level machinery and scratch round-trips
+    # that bound the light stencils (measured floors: star machinery
+    # 0.14/0.45, cross launch-bound) while the CSE plan keeps the
+    # per-step VPU op growth at +0-10% on star/5pt/box tables.
+    # Requires trapezoid, step % block == 0, block < step.
+    block: int = 1
     # run kernels in the Pallas interpreter (for off-TPU tests)
     interpret: bool = False
 
@@ -88,7 +97,7 @@ class KernelConfig:
         if self.ch is not None:
             parts.append(f"ch{self.ch}")
         if self.trapezoid:
-            parts.append("trap")
+            parts.append("trap" if self.block == 1 else f"trap_b{self.block}")
         if self.vfuse:
             parts.append("vf")
         if self.factor:

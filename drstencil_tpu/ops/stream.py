@@ -340,9 +340,25 @@ def _chain_columns(cvecs):
 DEEP_LEVELS = 5
 
 
+def n_levels(an: Analysis, cfg: KernelConfig) -> int:
+    """Trapezoid level count: step base applications, or step/block
+    applications of the block-step coefficient-fused operator."""
+    if not (cfg.trapezoid and an.step > 1):
+        return 1
+    blk = cfg.block or 1
+    if blk == 1:
+        return an.step
+    if an.step % blk or blk >= an.step:
+        raise ValueError(
+            f"block={blk} requires step % block == 0 and block < step "
+            f"(step={an.step}; block == step is plain coefficient fusion)"
+        )
+    return an.step // blk
+
+
 def is_deep(an: Analysis, cfg: KernelConfig) -> bool:
     return (bool(cfg.trapezoid) and not cfg.factor
-            and an.step >= DEEP_LEVELS)
+            and n_levels(an, cfg) >= DEEP_LEVELS)
 
 
 def _roll(x, s):
@@ -411,9 +427,13 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
     # halving the expensive lane rolls per level.  The schedule below
     # generalizes both: per level a (plan, residual_plan) pair, with
     # uniform per-level row reach hr_b and residual reach 2*hr_b.
-    s_levels = an.step if (cfg.trapezoid and an.step > 1) else 1
+    s_levels = n_levels(an, cfg)
     hr_b = hc
     schedule = [(fused_plan, None)]
+    if cfg.block > 1 and not (cfg.trapezoid and an.step > 1):
+        raise ValueError("block > 1 requires trapezoid with step > 1")
+    if cfg.block > 1 and cfg.factor:
+        raise ValueError("block > 1 is incompatible with factor mode")
     if cfg.factor:
         if len(g.dims) != 2:
             raise ValueError("factor mode is 2D-only")
@@ -431,10 +451,18 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
         schedule = [(plan_taps(v1_taps), None),
                     (plan_taps(v2_taps), plan_taps(r_taps))] * an.step
     elif s_levels > 1:
-        base_taps = to_rowlane(an.spec.taps)
+        if cfg.block > 1:
+            # hybrid: each level applies the block-step coefficient-fused
+            # operator — step/block levels advance `step` timesteps with
+            # per-level reach block*base (the fused-block extreme offsets
+            # are exact sums of base extremes, so reach composes exactly)
+            from drstencil_tpu.ir.passes import fuse as _fuse
+            base_taps = to_rowlane(_fuse(an.spec.taps, cfg.block))
+        else:
+            base_taps = to_rowlane(an.spec.taps)
         base_plan = plan_taps(base_taps)
         hr_b = hc // s_levels
-        assert hr_b * s_levels == hc, "fused hrow must be step*base hrow"
+        assert hr_b * s_levels == hc, "fused hrow must be levels*level hrow"
         schedule = [(base_plan, None)] * s_levels
     # residual terms need the 2-back level alive: 3 rotating scratch
     # buffers instead of 2
@@ -447,8 +475,8 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
             raise ValueError("vfuse requires trapezoid with step > 1")
         if cfg.factor:
             raise ValueError("vfuse is incompatible with factor mode")
-        if an.step >= DEEP_LEVELS:
-            raise ValueError("vfuse requires step < DEEP_LEVELS")
+        if s_levels >= DEEP_LEVELS:
+            raise ValueError("vfuse requires levels < DEEP_LEVELS")
         if g.pc:
             raise ValueError(
                 "vfuse requires roll lane-mode (pc=0): slice-mode inners "

@@ -58,7 +58,8 @@ def vmem_estimate(spec: StencilSpec, cfg: KernelConfig) -> Optional[Candidate]:
     if cfg.factor:
         bytes_ += 4 * g.window * g.wb * min(2 * cfg.step - 1, 3)
     elif cfg.trapezoid and cfg.step > 1 and not cfg.vfuse:
-        bytes_ += 4 * g.window * g.wb * min(cfg.step - 1, 2)  # level scratch
+        lv = stream_mod.n_levels(an, cfg)
+        bytes_ += 4 * g.window * g.wb * min(lv - 1, 2)  # level scratch
     if bytes_ > VMEM_BUDGET_BYTES:
         return None
     return Candidate(cfg=cfg, vmem_bytes=int(bytes_), window=g.window)
@@ -125,24 +126,45 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
             # kernel text (a tm512/ch8/fu3 candidate = 192 chunk blocks,
             # multi-minute Mosaic compile) and small ch maximizes the
             # overlap recompute vfuse pays — ch >= 32 or auto only.
-            vfs = (False, True) if (
-                trap and lm != "slice" and step < stream_mod.DEEP_LEVELS
-            ) else (False,)
-            if ch is not None and ch < 32:
-                vfs = (False,)
-            for vf in vfs:
-                cand = vmem_estimate(
-                    spec, KernelConfig(variant="stream", step=step, tm=tm,
-                                       lane_mode=lm, trapezoid=trap, ch=ch,
-                                       vfuse=vf)
-                )
-                if cand is None:
-                    continue
-                key = cand.cfg.label()
-                if key in seen:
-                    continue
-                seen.add(key)
-                yield cand
+            # trapezoid level granularity (cfg.block): levels apply the
+            # block-step coefficient-fused operator — halves (b2) the
+            # per-level machinery/scratch that bounds the light stencils
+            # while the CSE plan keeps per-step op growth at +0-10%
+            # (2d25pt_box is +50%: sweep it anyway, it is pressure- not
+            # op-bound).  Gate the per-level fused tap count like the
+            # coefficient-fusion gate above.
+            blocks = [1]
+            if trap:
+                for b in (2, 3):
+                    if step % b or b >= step:
+                        continue
+                    try:
+                        if len(fuse(spec.taps, b)) <= 96:
+                            blocks.append(b)
+                    except Exception:
+                        pass
+            for blk in blocks:
+                # vfuse legality follows LEVELS (step/block), see stream
+                lv = step // blk
+                vfs = (False, True) if (
+                    trap and lm != "slice" and lv < stream_mod.DEEP_LEVELS
+                ) else (False,)
+                if ch is not None and ch < 32:
+                    vfs = (False,)
+                for vf in vfs:
+                    cand = vmem_estimate(
+                        spec, KernelConfig(variant="stream", step=step,
+                                           tm=tm, lane_mode=lm,
+                                           trapezoid=trap, ch=ch,
+                                           vfuse=vf, block=blk)
+                    )
+                    if cand is None:
+                        continue
+                    key = cand.cfg.label()
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    yield cand
         # NOTE: cfg.factor (ir/factor.py convolution factorization) is
         # deliberately NOT swept: measured on v5e it loses ~1.4x to the
         # plain trapezoid (per-level fixed cost dominates; see the

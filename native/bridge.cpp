@@ -48,7 +48,7 @@ char* drs_analyze(const char* stc_text, const char* name, int step,
 char* drs_emit(const char* stc_text, const char* name, int step, int distance,
                int merge_forward, int tm, int check, int gold_only,
                const char* dtype, int trapezoid, const char* lane_mode,
-               int ch, int shards, int vfuse) {
+               int ch, int shards, int vfuse, int block) {
     try {
         drs::Spec spec = drs::parse_stc(stc_text, name ? name : "stencil");
         if (shards > 0) {
@@ -69,6 +69,7 @@ char* drs_emit(const char* stc_text, const char* name, int step, int distance,
         if (lane_mode && *lane_mode) cfg.lane_mode = lane_mode;
         cfg.shards = shards;
         cfg.vfuse = vfuse != 0;
+        cfg.block = block > 0 ? block : 1;
         return dup_string(drs::emit_program(an, cfg, "(via libdrstencil)"));
     } catch (const std::exception& e) {
         return error_json(e.what());
@@ -77,6 +78,6 @@ char* drs_emit(const char* stc_text, const char* name, int step, int distance,
 
 void drs_free(char* p) { std::free(p); }
 
-int drs_abi_version() { return 5; }
+int drs_abi_version() { return 6; }
 
 }  // extern "C"

@@ -37,6 +37,10 @@ struct EmitConfig {
     std::string lane_mode;  // "", "slice", "roll"
     bool trapezoid = false; // multi-step-in-VMEM instead of coeff fusion
     bool vfuse = false;     // value-fused trapezoid levels (no scratch)
+    // trapezoid level granularity: each level applies the block-step
+    // coefficient-fused base operator (step/block levels per strip) —
+    // mirrors KernelConfig.block / stream.n_levels
+    int block = 1;
     // Multi-chip: emit the shard-local (row_frame=False) kernel under a
     // shard_map over an `shards`-device mesh with ppermute halo exchange
     // (mirrors drstencil_tpu/parallel/stream_shard.py).  The caller
@@ -49,6 +53,19 @@ struct EmitConfig {
 };
 
 inline long round_up(long x, long m) { return (x + m - 1) / m * m; }
+
+// Trapezoid level count (mirror of stream.n_levels): step base
+// applications, or step/block applications of the block-fused operator.
+inline long trap_levels(const Analysis& an, const EmitConfig& cfg) {
+    if (!(cfg.trapezoid && an.step > 1)) return 1;
+    long blk = cfg.block > 0 ? cfg.block : 1;
+    if (blk == 1) return an.step;
+    if (an.step % blk || blk >= an.step)
+        throw StcError(
+            "--block requires step % block == 0 and block < step "
+            "(block == step is plain coefficient fusion)");
+    return an.step / blk;
+}
 
 inline std::string fmt_coe(double c) {
     std::ostringstream o;
@@ -104,8 +121,8 @@ inline EmitGeom make_geom(const Analysis& an, const EmitConfig& cfg) {
     g.n_strips = (g.pr + g.rows + g.tm - 1) / g.tm;
     g.rows_padded = g.n_strips * g.tm + 2 * g.hk;
     // deep-trapezoid fori bodies over-read up to 8 aligned slack rows
-    // (mirrors stream.make_geometry / is_deep)
-    g.wslack = (cfg.trapezoid && an.step >= 5) ? 8 : 0;
+    // (mirrors stream.make_geometry / is_deep; levels = step/block)
+    g.wslack = (cfg.trapezoid && trap_levels(an, cfg) >= 5) ? 8 : 0;
     g.rows_padded += g.wslack;
     if (is3d) g.rows_padded = round_up(g.rows_padded, g.mid);
     const bool slice_mode =
@@ -138,16 +155,23 @@ inline std::string emit_program(const Analysis& an, const EmitConfig& cfg,
     const bool trap = cfg.trapezoid && an.step > 1;
     if (cfg.vfuse && !trap)
         throw StcError("--vfuse requires --trapezoid with --step > 1");
+    if (cfg.block > 1 && !trap)
+        throw StcError("--block requires --trapezoid with --step > 1");
+    const long s_levels = trap_levels(an, cfg);
     std::map<std::pair<long, long>, double> base_taps;
     long hr_b = 0;
     if (trap) {
-        for (const auto& [off, coe] : spec.taps) {
+        // each level applies the block-step fused base operator
+        // (block == 1: the base stencil itself)
+        const Taps level_taps =
+            cfg.block > 1 ? fuse(spec.taps, cfg.block) : spec.taps;
+        for (const auto& [off, coe] : level_taps) {
             long d = off.size() == 3 ? long(off[0]) * g.mid + off[1] : off[0];
             base_taps[{d, off.back()}] = coe;
         }
-        hr_b = g.hrow / an.step;
-        if (hr_b * an.step != g.hrow)
-            throw StcError("trapezoid: fused hrow not divisible by step");
+        hr_b = g.hrow / s_levels;
+        if (hr_b * s_levels != g.hrow)
+            throw StcError("trapezoid: fused hrow not divisible by levels");
     }
 
     // static row-frame segments (strip, local_offset, slab_offset, len)
@@ -484,20 +508,22 @@ if __name__ == "__main__":
             carry[lo : base + CH - (TM - HROW)] = acc[cut:CH]
 )PY";
     } else {
-        // deep trapezoids (step >= 5, mirroring stream.DEEP_LEVELS):
+        // deep trapezoids (levels >= 5, mirroring stream.DEEP_LEVELS):
         // intermediate levels via fori_loop over constant-length chunks
         // (fully-unrolled deep levels blow up Mosaic)
-        const bool deep = an.step >= 5;
+        const bool deep = s_levels >= 5;
         if (cfg.vfuse) {
             // mirror of stream.build_stream_kernel's vfuse guards
-            if (deep) throw StcError("--vfuse requires --step < 5");
+            if (deep) throw StcError("--vfuse requires levels < 5");
             if (g.pc != 0)
                 throw StcError("--vfuse requires roll lane-mode (pc=0)");
         }
         long n_scratch =
-            cfg.vfuse ? 0 : std::min<long>(an.step - 1, 2);
-        o << "HRB = " << hr_b << "   # base-operator row halo per level\n";
-        o << "NLEVELS = " << an.step << "\n";
+            cfg.vfuse ? 0 : std::min<long>(s_levels - 1, 2);
+        o << "HRB = " << hr_b << "   # level-operator row halo per level\n";
+        o << "NLEVELS = " << s_levels
+          << (cfg.block > 1 ? "   # levels of the block-fused operator" : "")
+          << "\n";
         o << "NSCRATCH = " << n_scratch << "\n";
         o << "\n\ndef kernel(a_ref, "
           << (shard ? "" : "lo_ref, hi_ref, ")

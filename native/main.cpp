@@ -52,6 +52,10 @@ Options:
 --vfuse                 With --trapezoid: chain intermediate levels through
                         chunk-local values instead of VMEM scratch.
 
+--block <b>             With --trapezoid: each level applies the b-step
+                        coefficient-fused base operator (step/b levels —
+                        the hybrid of the two fusion strategies; default 1).
+
 --ch <rows>             Accumulation chunk rows (must divide tile rows,
                         multiple of 8; default: auto ~2MB temporaries).
 
@@ -116,6 +120,7 @@ int main(int argc, char** argv) {
         else if (a == "--trapezoid") ecfg.trapezoid = true;
         else if (a == "--shard") ecfg.shards = std::atoi(need_val(i));
         else if (a == "--vfuse") ecfg.vfuse = true;
+        else if (a == "--block") ecfg.block = std::atoi(need_val(i));
         else if (a == "--check") ecfg.check = true;
         else if (a == "--gold") ecfg.gold_only = true;
         else if (a == "--dump-analysis") dump = true;

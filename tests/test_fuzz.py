@@ -29,14 +29,22 @@ def random_spec(rng, ndim, dims):
 def test_fuzz_2d(seed):
     rng = np.random.default_rng(100 + seed)
     spec = random_spec(rng, 2, (48, 256))
-    step = int(rng.integers(1, 4))
+    # steps up to 6 so the hybrid block granularity (needs step % block
+    # == 0, block < step) and the deep fori path get fuzz coverage
+    step = int(rng.integers(1, 7))
     trap = bool(rng.integers(0, 2)) and step > 1
     tm = int(rng.choice([16, 24, 32]))
     lane = str(rng.choice(["roll", "slice"]))
-    # value-fused trapezoid rides the same validity domain (roll, step<5)
+    # value-fused trapezoid rides the same validity domain (roll, levels<5)
     vf = bool(rng.integers(0, 2)) and trap and lane == "roll"
+    # hybrid level granularity: block-fused levels where step allows
+    blk = 1
+    if trap and bool(rng.integers(0, 2)):
+        cands = [b for b in (2, 3) if step % b == 0 and b < step]
+        if cands:
+            blk = int(rng.choice(cands))
     cfg = KernelConfig(variant="stream", step=step, tm=tm, trapezoid=trap,
-                       lane_mode=lane, vfuse=vf, interpret=True)
+                       lane_mode=lane, vfuse=vf, block=blk, interpret=True)
     try:
         prog = StencilProgram(spec, cfg)
     except (AnalysisError, ValueError):

@@ -127,6 +127,39 @@ def test_trapezoid_matches_golden(name, step):
     assert rms < RMS_TOL * growth
 
 
+@pytest.mark.parametrize("name", ["2d5pt_star", "2d9pt_star", "2d25pt_box",
+                                  "3d7pt_star"])
+@pytest.mark.parametrize("blk,step,vf", [(2, 4, False), (2, 4, True),
+                                         (3, 6, False)])
+def test_block_trapezoid_matches_golden(name, blk, step, vf):
+    """Hybrid fusion (cfg.block): each trapezoid level applies the
+    block-step coefficient-fused operator — step/block levels advance
+    `step` timesteps.  Must agree with the fp64 golden."""
+    if name.startswith("3d") and blk == 3:
+        pytest.skip("3d small specs too small for 2*order*3 halo at tm")
+    tm = 16 if name.startswith("2d") else None
+    spec = small_spec(name)
+    cfg = KernelConfig(variant="stream", step=step, tm=tm, trapezoid=True,
+                       block=blk, vfuse=vf,
+                       lane_mode="roll" if vf and name.startswith("2d")
+                       else None, interpret=True)
+    prog = StencilProgram(spec, cfg)
+    max_err, rms = prog.check(seed=0, pairs=1)
+    growth = max(1.0, sum(spec.taps.values())) ** (2 * step)
+    assert max_err < MAX_TOL * growth, f"max_err={max_err}"
+    assert rms < RMS_TOL * growth
+
+
+def test_block_equals_step_rejected():
+    """block == step degenerates to plain coefficient fusion — rejected
+    so the config space stays free of duplicate kernels."""
+    spec = small_spec("2d5pt_star")
+    cfg = KernelConfig(variant="stream", step=2, tm=16, trapezoid=True,
+                       block=2, interpret=True)
+    with pytest.raises(ValueError, match="block"):
+        StencilProgram(spec, cfg).check(seed=0, pairs=1)
+
+
 def test_trapezoid_close_to_fused():
     spec = small_spec("2d9pt_box", dims=(64, 256))
     fused = StencilProgram(

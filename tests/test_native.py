@@ -422,6 +422,51 @@ def test_emitted_matches_library_vfuse(tmp_path):
     np.testing.assert_array_equal(gen_out, lib_out)
 
 
+@pytest.mark.parametrize("vf", [False, True])
+def test_emitted_matches_library_block(tmp_path, vf):
+    """Bit-identical parity for hybrid fusion (--block 2): emitted
+    program vs library kernel — same block-fused level plan, same
+    schedule, scratch and value-fused variants."""
+    import jax
+    from drstencil_tpu.ops.config import KernelConfig
+    from drstencil_tpu.ops.runner import StencilProgram
+    from drstencil_tpu.ir import golden as gold_mod
+
+    spec = small_spec("2d5pt_star", dims=(64, 256))
+    cfg = KernelConfig(variant="stream", step=4, tm=16, trapezoid=True,
+                       block=2, vfuse=vf, lane_mode="roll", interpret=True)
+    prog = StencilProgram(spec, cfg)
+    state = prog.init_state(7)
+    state = prog.run_pairs(state, 1)
+    lib_out = prog.final_a(state)
+
+    text = native_bridge.emit(
+        "M 64\nN 256\niterations 4\nstencil\n" + FIVE_PT,
+        "tiny", step=4, tm=16, trapezoid=True, lane_mode="roll",
+        vfuse=vf, block=2,
+    )
+    assert "NLEVELS = 2" in text
+    g = {"__name__": "gen"}
+    exec(compile(text, "gen_b2.py", "exec"), g)
+    a0, b0 = gold_mod.random_state(spec, 7, dtype=np.float64)
+    a0, b0 = a0.astype(np.float32), b0.astype(np.float32)
+    call = g["build_call"](True)
+
+    def apply_fn(src, slabs):
+        lo, hi, *faces = slabs
+        return call(src, lo, hi, *faces)
+
+    a = g["pad_state"](a0)
+    sa = g["make_slabs"](a0)
+    sb = g["make_slabs"](b0)
+    b = apply_fn(jax.numpy.asarray(a), tuple(map(jax.numpy.asarray, sb)))
+    a = apply_fn(b, tuple(map(jax.numpy.asarray, sa)))
+    gen_out = np.asarray(a)[
+        g["PR"] : g["PR"] + 64, g["PC"] : g["PC"] + g["N"]
+    ]
+    np.testing.assert_array_equal(gen_out, lib_out)
+
+
 def test_emitted_matches_library_shard_3d(tmp_path, cpu_devices):
     """Shard emitter parity for 3D (exercises the per-shard jframe fixup
     inside the shard_map local function)."""
