@@ -1,5 +1,5 @@
-"""The streaming Pallas kernel under shard_map — multi-chip inherits
-single-chip performance.
+"""The streaming Pallas kernel under shard_map — weak-scaling halo
+overhead is sub-1% per the traffic model below (`halo_traffic_model`).
 
 The single-chip flagship kernel (ops/stream.py) composed with spatial
 domain decomposition (parallel/halo.py): the grid's leading axis is
@@ -144,6 +144,51 @@ def unshard_state(stacked, g, n_shards: int) -> np.ndarray:
     blocks = np.split(stacked, n_shards, axis=0)
     real = [stream_mod.unpad_state(b, g) for b in blocks]
     return np.concatenate(real, axis=0)
+
+
+# TPU v5e ICI: one-way bandwidth per link ≈ 4.5e10 B/s and ~1 us per-hop
+# dispatch latency (public scaling-book figures for v5e; a 1-D sharding
+# uses one ring link per neighbor, both directions concurrently usable).
+ICI_BW_BYTES_PER_S = 4.5e10
+ICI_HOP_LATENCY_S = 1.0e-6
+
+
+def halo_traffic_model(g, step: int, ms_per_step_single: float | None = None,
+                       itemsize: int = 4, ici_bw: float = ICI_BW_BYTES_PER_S,
+                       latency_s: float = ICI_HOP_LATENCY_S) -> dict:
+    """ICI cost model of the halo exchange in :func:`build_sharded_stream`.
+
+    Exactly what the jaxpr does (asserted byte-for-byte by
+    ``tests/test_parallel.py::test_halo_traffic_accounting``): per fused
+    apply (= ``step`` plain timesteps), each shard sends its top real
+    ``hrow`` tall-rows forward and its bottom ``hrow`` backward — two
+    ``ppermute`` collectives of ``hrow * wb * itemsize`` bytes each over
+    one ICI hop.  The tall layout makes this the entire inter-chip
+    traffic for both 2D and 3D (a 3D halo of h planes + h row-slabs IS
+    ``hrow`` tall-rows); there are no other collectives in the step.
+
+    Returns the per-apply byte/time accounting plus, when the measured
+    single-chip ``ms_per_step_single`` is given, the predicted
+    weak-scaling efficiency  t_comp / (t_comp + t_halo)  — each chip
+    keeps the full single-chip problem, so per-step compute time is
+    unchanged and the only addition is the (unoverlapped, worst-case
+    serial) exchange.
+    """
+    bytes_per_permute = g.hrow * g.wb * itemsize
+    bytes_per_apply = 2 * bytes_per_permute       # fwd + bwd halves
+    t_halo_s = 2 * (bytes_per_permute / ici_bw + latency_s)
+    out = {
+        "hrow": g.hrow, "wb": g.wb, "step": step,
+        "bytes_per_permute": bytes_per_permute,
+        "bytes_per_apply": bytes_per_apply,
+        "halo_ms_per_apply": t_halo_s * 1e3,
+        "halo_ms_per_step": t_halo_s * 1e3 / step,
+    }
+    if ms_per_step_single is not None:
+        out["ms_per_step_single"] = ms_per_step_single
+        out["weak_scaling_efficiency"] = ms_per_step_single / (
+            ms_per_step_single + out["halo_ms_per_step"])
+    return out
 
 
 def sharded_stream_pair(spec: StencilSpec, cfg: KernelConfig, mesh: Mesh,

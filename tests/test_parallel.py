@@ -219,3 +219,44 @@ def test_sharded_stream_3d_trapezoid(cpu_mesh):
     me, _ = golden.check_error(got, ga, an.halo)
     scale = max(1.0, float(np.max(np.abs(ga))))
     assert me / scale < 3e-6, f"max_err={me} (scale {scale:.3g})"
+
+
+def _ppermute_bytes(jaxpr) -> tuple[int, int]:
+    """Recursively sum (n_ppermutes, operand bytes) over a closed jaxpr —
+    the actual inter-chip traffic the compiled step would put on ICI."""
+    count, total = 0, 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "ppermute":
+            count += 1
+            total += sum(int(np.prod(v.aval.shape)) * v.aval.dtype.itemsize
+                         for v in eqn.invars if hasattr(v.aval, "shape"))
+        for p in eqn.params.values():
+            for sub in jax.core.jaxprs_in_params({None: p}):
+                c, t = _ppermute_bytes(sub)
+                count, total = count + c, total + t
+    return count, total
+
+
+def test_halo_traffic_accounting(cpu_mesh):
+    """The ICI model's byte accounting (halo_traffic_model) must equal the
+    traffic in the traced program: exactly two ppermutes per apply, each
+    moving hrow*wb*4 bytes — the published weak-scaling numbers
+    (parallel/model.py, BASELINE.md) divide THESE bytes by ICI bandwidth."""
+    spec = small_spec("2d9pt_star", dims=(64, 256))
+    cfg = KernelConfig(variant="stream", step=2, tm=16, trapezoid=True,
+                       interpret=True)
+    n = 4
+    apply_fn, g, sharding = stream_shard.build_sharded_stream(
+        spec, cfg, cpu_mesh)
+    model = stream_shard.halo_traffic_model(g, cfg.step)
+
+    import jax.numpy as jnp
+    a = jnp.zeros((n * g.rows_padded, g.wb), jnp.float32)
+    fr = g.frame_rows
+    face = jnp.zeros((n * 2 * fr, g.wb), jnp.float32)
+    jaxpr = jax.make_jaxpr(apply_fn)(a, a, face)
+    count, total = _ppermute_bytes(jaxpr.jaxpr)
+    assert count == 2, f"expected 2 ppermutes per apply, traced {count}"
+    # jaxpr shapes are per-shard inside shard_map: bytes == model's
+    assert total == model["bytes_per_apply"], (total, model)
+    assert model["bytes_per_permute"] == g.hrow * g.wb * 4
