@@ -10,7 +10,13 @@ knobs become their TPU equivalents:
   along the streaming axis;
 - ``--streaming`` → variant selection (strip kernels stream by
   construction; the XLA variant lets the compiler choose);
-- ``--prefetch`` → double-buffered DMA, automatic in the Pallas pipeline.
+- ``--prefetch`` → ``prefetch`` (LIVE): per-input pipeline buffer depth.
+  The Pallas TPU pipeline is double-buffered by default (depth 2 — the
+  automatic incarnation of the reference's shared-memory prefetch,
+  codegen.hpp:116-141); ``prefetch=1`` lowers the window fetch to
+  ``pl.Buffered(1)`` (synchronous, no overlap) — the measurable
+  off-position.  Mosaic rejects depth > 2, so the reference's depth
+  axis collapses to {1, 2} on TPU.
 """
 
 from __future__ import annotations
@@ -70,6 +76,11 @@ class KernelConfig:
     # per-step VPU op growth at +0-10% on star/5pt/box tables.
     # Requires trapezoid, step % block == 0, block < step.
     block: int = 1
+    # pipeline buffer depth for the streamed window fetch: 2 = Mosaic's
+    # default double-buffered DMA (prefetch on), 1 = synchronous fetch
+    # (prefetch off; the reference's --prefetch=0, codegen.hpp:116-141).
+    # Depth > 2 is rejected by the Mosaic lowering.
+    prefetch: int = 2
     # run kernels in the Pallas interpreter (for off-TPU tests)
     interpret: bool = False
 
@@ -104,6 +115,8 @@ class KernelConfig:
             parts.append("fac")
         if self.lane_mode:
             parts.append(self.lane_mode)
+        if self.prefetch != 2:
+            parts.append(f"pf{self.prefetch}")
         if self.dtype != "float32":
             parts.append(self.dtype)
         return "_".join(parts)

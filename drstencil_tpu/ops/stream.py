@@ -714,10 +714,18 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
     def const_map(i):
         return (0, 0)
 
+    if cfg.prefetch not in (1, 2):
+        raise ValueError(
+            f"prefetch depth {cfg.prefetch} unsupported: the Mosaic "
+            "pipeline lowers only synchronous (1) or double-buffered (2)"
+        )
     in_specs = [
         pl.BlockSpec(
             (pl.Element(g.window + wslack), pl.Element(wb)), win_map,
             memory_space=pltpu.VMEM,
+            # depth 2 is Mosaic's default; only a pf1 ablation config
+            # annotates the window fetch (pl.Buffered(1) = synchronous)
+            pipeline_mode=(pl.Buffered(1) if cfg.prefetch == 1 else None),
         ),
     ]
     if row_frame:

@@ -48,7 +48,7 @@ char* drs_analyze(const char* stc_text, const char* name, int step,
 char* drs_emit(const char* stc_text, const char* name, int step, int distance,
                int merge_forward, int tm, int check, int gold_only,
                const char* dtype, int trapezoid, const char* lane_mode,
-               int ch, int shards, int vfuse, int block) {
+               int ch, int shards, int vfuse, int block, int prefetch) {
     try {
         drs::Spec spec = drs::parse_stc(stc_text, name ? name : "stencil");
         if (shards > 0) {
@@ -70,6 +70,7 @@ char* drs_emit(const char* stc_text, const char* name, int step, int distance,
         cfg.shards = shards;
         cfg.vfuse = vfuse != 0;
         cfg.block = block > 0 ? block : 1;
+        cfg.prefetch = prefetch > 0 ? prefetch : 2;
         return dup_string(drs::emit_program(an, cfg, "(via libdrstencil)"));
     } catch (const std::exception& e) {
         return error_json(e.what());
@@ -78,6 +79,6 @@ char* drs_emit(const char* stc_text, const char* name, int step, int distance,
 
 void drs_free(char* p) { std::free(p); }
 
-int drs_abi_version() { return 6; }
+int drs_abi_version() { return 7; }
 
 }  // extern "C"

@@ -46,10 +46,15 @@ struct EmitConfig {
     // (mirrors drstencil_tpu/parallel/stream_shard.py).  The caller
     // passes the LOCAL spec (leading dim divided by shards); 0 = off.
     int shards = 0;
+    // Pipeline buffer depth for the streamed window fetch (LIVE TPU
+    // incarnation of the reference's --prefetch, codegen.hpp:116-141):
+    // 2 = Mosaic's default double-buffered DMA, 1 = synchronous fetch
+    // (pl.Buffered(1)).  Mosaic rejects depth > 2.
+    int prefetch = 2;
     // Reference knobs with no TPU meaning, recorded for provenance:
     int by = 16, sn = 16, stream_unroll = 4;
     int bmx = 1, bmy = 1, cmx = 1, cmy = 1;
-    bool streaming = false, prefetch = false;
+    bool streaming = false;
 };
 
 inline long round_up(long x, long m) { return (x + m - 1) / m * m; }
@@ -199,10 +204,14 @@ inline std::string emit_program(const Analysis& an, const EmitConfig& cfg,
     o << "#   analysis: step=" << an.step << " order=" << an.order
       << " dist=" << an.distance << " window=" << an.part.window()
       << " taps(fused)=" << an.fused.size() << "\n";
-    o << "#   gpu-only knobs recorded (tile/pipeline handled by Pallas): by="
+    o << "#   gpu-only knobs recorded (tile handled by Pallas): by="
       << cfg.by << " sn=" << cfg.sn << " stream_unroll=" << cfg.stream_unroll
       << " bm=(" << cfg.bmx << "," << cfg.bmy << ") cm=(" << cfg.cmx << ","
-      << cfg.cmy << ") prefetch=" << (cfg.prefetch ? 1 : 0) << "\n";
+      << cfg.cmy << ")\n";
+    o << "#   pipeline: prefetch depth=" << cfg.prefetch
+      << (cfg.prefetch == 1 ? " (synchronous window fetch)"
+                            : " (double-buffered, Mosaic default)")
+      << "\n";
     o << "import argparse, time\n";
     o << "import numpy as np\n";
 
@@ -296,6 +305,12 @@ if __name__ == "__main__":
     o << "\nimport jax\nimport jax.numpy as jnp\n";
     o << "from jax.experimental import pallas as pl\n";
     o << "from jax.experimental.pallas import tpu as pltpu\n";
+    // window-fetch pipeline depth (live --prefetch): None = Mosaic's
+    // default double buffering; pl.Buffered(1) = synchronous fetch
+    if (cfg.prefetch == 1)
+        o << "PIPELINE_MODE = pl.Buffered(1)  # --prefetch 1\n";
+    else
+        o << "PIPELINE_MODE = None  # double-buffered (default)\n";
 
     // helper: emit the algebraic-CSE tap application (the mirror of
     // stream.plan_taps + chunk_acc — same grouping, same summation order,
@@ -645,7 +660,8 @@ def build_call(interpret):
     const_map = lambda i: (0, 0)
     in_specs = [
         pl.BlockSpec((pl.Element(TM + 2 * HK + WSLACK), pl.Element(WB)),
-                     win_map, memory_space=pltpu.VMEM),
+                     win_map, memory_space=pltpu.VMEM,
+                     pipeline_mode=PIPELINE_MODE),
 )PY";
     if (!shard)
         o << R"PY(        pl.BlockSpec((FR, WB), const_map, memory_space=pltpu.VMEM),

@@ -32,8 +32,14 @@ Options:
 --streaming             Accepted for reference parity; the TPU kernel always
                         streams the outer axis through VMEM.
 
+--prefetch [<depth>]    Window-fetch pipeline depth: 2 = double-buffered DMA
+                        (the default — the reference's prefetch, automatic
+                        on TPU), 1 = synchronous fetch (prefetch off).
+                        Bare --prefetch keeps the default for reference
+                        CLI parity; Mosaic rejects depth > 2.
+
 --by/--sn/--stream-unroll/--block-merge-x/--block-merge-y/
---cyclic-merge-x/--cyclic-merge-y/--prefetch
+--cyclic-merge-x/--cyclic-merge-y
                         Accepted for reference parity and recorded in the
                         generated header; on TPU these map to tile-shape
                         selection and the automatic Pallas DMA pipeline.
@@ -113,7 +119,13 @@ int main(int argc, char** argv) {
         else if (a == "--block-merge-y") ecfg.bmy = std::atoi(need_val(i));
         else if (a == "--cyclic-merge-x") ecfg.cmx = std::atoi(need_val(i));
         else if (a == "--cyclic-merge-y") ecfg.cmy = std::atoi(need_val(i));
-        else if (a == "--prefetch") ecfg.prefetch = true;
+        else if (a == "--prefetch") {
+            // optional depth value (TPU-live): "--prefetch 1" = synchronous
+            // window fetch, "--prefetch [2]" = double-buffered (default)
+            std::string nxt = (i + 1 < argc - 1) ? argv[i + 1] : "";
+            if (nxt == "1" || nxt == "2") ecfg.prefetch = std::atoi(argv[++i]);
+            else ecfg.prefetch = 2;
+        }
         else if (a == "--merge-forward") merge_f = std::atoi(need_val(i));
         else if (a == "--dtype") ecfg.dtype = need_val(i);
         else if (a == "--lane-mode") ecfg.lane_mode = need_val(i);

@@ -297,3 +297,30 @@ def test_vfuse_guards():
                                           trapezoid=True, vfuse=True,
                                           lane_mode="slice",
                                           interpret=True))
+
+
+def test_prefetch_depth_bit_identical():
+    """The live --prefetch knob (window-fetch pipeline depth) changes DMA
+    scheduling only: prefetch=1 (synchronous, pl.Buffered(1)) must produce
+    bit-identical output to the default double-buffered fetch, and the
+    label must round-trip the knob for ledgers/filters."""
+    spec = small_spec("2d9pt_star", dims=(64, 256))
+    base = KernelConfig(variant="stream", step=2, tm=16, trapezoid=True,
+                        interpret=True)
+    pf1 = base.replace(prefetch=1)
+    assert pf1.label() == base.label() + "_pf1"
+    assert KernelConfig.from_dict(dict(prefetch=1)).prefetch == 1
+    p2 = StencilProgram(spec, base)
+    p1 = StencilProgram(spec, pf1)
+    s2 = p2.run_pairs(p2.init_state(5), 2)
+    s1 = p1.run_pairs(p1.init_state(5), 2)
+    np.testing.assert_array_equal(p1.final_a(s1), p2.final_a(s2))
+
+
+def test_prefetch_depth_validated():
+    """Mosaic lowers only depths 1 and 2; the builder rejects others."""
+    spec = small_spec("2d5pt_star", dims=(64, 256))
+    cfg = KernelConfig(variant="stream", step=1, tm=16, interpret=True,
+                       prefetch=3)
+    with pytest.raises(ValueError, match="prefetch"):
+        StencilProgram(spec, cfg).init_state(0)

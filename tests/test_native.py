@@ -566,3 +566,51 @@ def test_emitted_matches_library_vfuse_3d(tmp_path):
         g["PR"] : g["PR"] + g["R"], g["PC"] : g["PC"] + g["N"]
     ].reshape(spec.dims)
     np.testing.assert_array_equal(gen_out, lib_out)
+
+
+def test_emitted_prefetch_depth(tmp_path):
+    """--prefetch is LIVE: depth 1 emits pl.Buffered(1) on the window
+    spec, runs bit-identical to the library pf1 kernel (DMA scheduling
+    only — values unchanged), and the header records the depth."""
+    import jax
+    from drstencil_tpu.ops.config import KernelConfig
+    from drstencil_tpu.ops.runner import StencilProgram
+
+    spec = small_spec("2d5pt_star", dims=(64, 256))
+    prog = StencilProgram(
+        spec, KernelConfig(variant="stream", step=2, tm=16, interpret=True,
+                           prefetch=1)
+    )
+    state = prog.init_state(7)
+    state = prog.run_pairs(state, 1)
+    lib_out = prog.final_a(state)
+
+    text = native_bridge.emit(
+        "M 64\nN 256\niterations 4\nstencil\n" + FIVE_PT,
+        "tiny", step=2, tm=16, prefetch=1,
+    )
+    assert "PIPELINE_MODE = pl.Buffered(1)" in text
+    assert "prefetch depth=1 (synchronous window fetch)" in text
+    g = {"__name__": "gen"}
+    exec(compile(text, "gen.py", "exec"), g)
+    from drstencil_tpu.ir import golden as gold_mod
+    a0, b0 = gold_mod.random_state(spec, 7, dtype=np.float64)
+    a0, b0 = a0.astype(np.float32), b0.astype(np.float32)
+    call = g["build_call"](True)
+    a = g["pad_state"](a0)
+    b = g["pad_state"](b0)
+    sa = g["make_slabs"](a0)
+    sb = g["make_slabs"](b0)
+    lo, hi, *faces = tuple(map(jax.numpy.asarray, sb))
+    b = call(jax.numpy.asarray(a), lo, hi, *faces)
+    lo, hi, *faces = tuple(map(jax.numpy.asarray, sa))
+    a = call(b, lo, hi, *faces)
+    gen_out = np.asarray(a)[g["PR"] : g["PR"] + 64, g["PC"] : g["PC"] + g["N"]]
+    np.testing.assert_array_equal(gen_out, lib_out)
+
+    # default depth emits no synchronous annotation
+    text2 = native_bridge.emit(
+        "M 64\nN 256\niterations 4\nstencil\n" + FIVE_PT, "tiny",
+        step=2, tm=16,
+    )
+    assert "PIPELINE_MODE = None" in text2
