@@ -260,3 +260,17 @@ def test_halo_traffic_accounting(cpu_mesh):
     # jaxpr shapes are per-shard inside shard_map: bytes == model's
     assert total == model["bytes_per_apply"], (total, model)
     assert model["bytes_per_permute"] == g.hrow * g.wb * 4
+
+
+def test_weak_scaling_model_rows():
+    """parallel/model.py builds a model row for every tuned winner; the
+    published table (BASELINE.md) is a snapshot of these rows, so pin the
+    invariants: 8 stencils, positive traffic, efficiency in (0.9, 1)."""
+    from drstencil_tpu.parallel.model import winner_rows
+
+    rows = winner_rows(8)
+    assert len(rows) == 8
+    for m in rows:
+        assert m["bytes_per_apply"] == 2 * m["hrow"] * m["wb"] * 4
+        assert 0.9 < m["weak_scaling_efficiency"] < 1.0
+        assert m["halo_ms_per_step"] < 0.1  # < 100 us/step for all winners
