@@ -111,7 +111,9 @@ def main(argv=None) -> None:
         description="summarize a jax.profiler trace's TPU device timeline")
     ap.add_argument("trace_dir")
     ap.add_argument("out_csv", nargs="?", default=None)
-    ap.add_argument("--label", default="", help="CSV row label (config)")
+    ap.add_argument("--label", default="",
+                    help="CSV row label (config); defaults to the trace "
+                    "directory's basename")
     ap.add_argument("--all", action="store_true",
                     help="include host processes, not just the device")
     ap.add_argument("--top", type=int, default=20)
@@ -123,7 +125,9 @@ def main(argv=None) -> None:
         print(f"{r.thread:<14.14} {r.name:<44.44} {r.count:>4} "
               f"{r.total_ms:>10.3f} {r.mean_ms:>9.4f}")
     if args.out_csv:
-        write_csv(rows, args.out_csv, label=args.label)
+        label = args.label or os.path.basename(
+            os.path.normpath(args.trace_dir))
+        write_csv(rows, args.out_csv, label=label)
         print(f"appended {len(rows)} rows to {args.out_csv}")
 
 
