@@ -18,26 +18,36 @@ from __future__ import annotations
 import json
 import os
 
+from drstencil_tpu.ir.passes import analyze
 from drstencil_tpu.ir.spec import load_stc
 from drstencil_tpu.ops import stream as stream_mod
+from drstencil_tpu.ops.config import KernelConfig
 from drstencil_tpu.parallel import stream_shard
-from drstencil_tpu.tune.tuned import TUNED_PATH, best_config
+from drstencil_tpu.tune.tuned import TUNED_PATH
 
-BENCH_DIR = os.path.join(os.path.dirname(TUNED_PATH))
+BENCH_DIR = os.path.dirname(TUNED_PATH)
 
 
 def winner_rows(n_shards: int = 8) -> list[dict]:
-    """One model row per tuned winner (local slab = dims[0]/n_shards)."""
+    """One model row per tuned winner.
+
+    Weak scaling: each chip keeps the FULL single-chip problem (the
+    premise halo_traffic_model prices), so the geometry is the undivided
+    spec's — and hrow/wb are dims[0]-independent anyway.  ``n_shards``
+    is reported for context only; it does not change per-chip traffic
+    on a 1-D mesh (one neighbor exchange per side regardless of n).
+    """
     tuned = json.load(open(TUNED_PATH))
     rows = []
     for name in sorted(tuned):
-        cfg = best_config(name)
+        cfg = KernelConfig.from_dict(tuned[name]["config"])
         spec = load_stc(os.path.join(BENCH_DIR, name + ".stc"))
-        an = stream_shard.local_analysis(spec, cfg, n_shards)
+        an = analyze(spec, step=cfg.step, distance=cfg.distance,
+                     merge_forward=cfg.merge_forward)
         g = stream_mod.make_geometry(an, cfg)
         ms = tuned[name]["score"]["ms_per_step"]
         m = stream_shard.halo_traffic_model(g, cfg.step, ms_per_step_single=ms)
-        m["name"], m["config"] = name, cfg.label()
+        m["name"], m["config"], m["n_shards"] = name, cfg.label(), n_shards
         rows.append(m)
     return rows
 

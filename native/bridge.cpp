@@ -70,6 +70,9 @@ char* drs_emit(const char* stc_text, const char* name, int step, int distance,
         cfg.shards = shards;
         cfg.vfuse = vfuse != 0;
         cfg.block = block > 0 ? block : 1;
+        if (prefetch > 0 && prefetch != 1 && prefetch != 2)
+            throw drs::StcError("prefetch depth must be 1 or 2 (Mosaic "
+                                "pipeline limit)");
         cfg.prefetch = prefetch > 0 ? prefetch : 2;
         return dup_string(drs::emit_program(an, cfg, "(via libdrstencil)"));
     } catch (const std::exception& e) {

@@ -121,9 +121,18 @@ int main(int argc, char** argv) {
         else if (a == "--cyclic-merge-y") ecfg.cmy = std::atoi(need_val(i));
         else if (a == "--prefetch") {
             // optional depth value (TPU-live): "--prefetch 1" = synchronous
-            // window fetch, "--prefetch [2]" = double-buffered (default)
+            // window fetch, "--prefetch [2]" = double-buffered (default).
+            // A numeric operand that is not a legal depth must error here,
+            // not fall through as a mystery "unknown option".
             std::string nxt = (i + 1 < argc - 1) ? argv[i + 1] : "";
+            bool numeric = !nxt.empty() &&
+                nxt.find_first_not_of("0123456789") == std::string::npos;
             if (nxt == "1" || nxt == "2") ecfg.prefetch = std::atoi(argv[++i]);
+            else if (numeric) {
+                std::cerr << "Illegal input: --prefetch depth must be 1 or 2"
+                          << " (got " << nxt << ")\n";
+                return 1;
+            }
             else ecfg.prefetch = 2;
         }
         else if (a == "--merge-forward") merge_f = std::atoi(need_val(i));
