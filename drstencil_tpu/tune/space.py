@@ -134,7 +134,14 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
             # op-bound).  Gate the per-level fused tap count like the
             # coefficient-fusion gate above.
             blocks = [1]
-            if trap:
+            # 3D block-fused levels are excluded from the space: the
+            # b-fused 3D operator gains diagonal taps whose row×lane
+            # shift product unrolls into a kernel Mosaic chews on for
+            # 30+ min immune to SIGALRM (observed r4f: the first
+            # 3d7pt_star stream_fu*_trap_b* candidate wedged the sweep;
+            # the 2D b2/b3 families all measured 1.4-2x SLOWER than
+            # their trapezoid winners anyway, so the family is priced).
+            if trap and not is3d:
                 for b in (2, 3):
                     if step % b or b >= step:
                         continue
