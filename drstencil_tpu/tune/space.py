@@ -128,11 +128,12 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
             # overlap recompute vfuse pays — ch >= 32 or auto only.
             # trapezoid level granularity (cfg.block): levels apply the
             # block-step coefficient-fused operator — halves (b2) the
-            # per-level machinery/scratch that bounds the light stencils
-            # while the CSE plan keeps per-step op growth at +0-10%
-            # (2d25pt_box is +50%: sweep it anyway, it is pressure- not
-            # op-bound).  Gate the per-level fused tap count like the
-            # coefficient-fusion gate above.
+            # per-level machinery/scratch that bounds the light stencils.
+            # Gate the per-level fused tap count at the SAME 64-tap bound
+            # as the coefficient-fusion gate above: the 81-tap b2-fused
+            # 2d25pt_box levels measured 870s-40min Mosaic compiles (r4f)
+            # for configs that were 1.39x slower than the trapezoid
+            # winner anyway.
             blocks = [1]
             # 3D block-fused levels are excluded from the space: the
             # b-fused 3D operator gains diagonal taps whose row×lane
@@ -146,7 +147,7 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
                     if step % b or b >= step:
                         continue
                     try:
-                        if len(fuse(spec.taps, b)) <= 96:
+                        if len(fuse(spec.taps, b)) <= 64:
                             blocks.append(b)
                     except Exception:
                         pass
