@@ -44,6 +44,9 @@ def main(argv=None):
                     help="with --trapezoid: each level applies the "
                     "block-step coefficient-fused base operator "
                     "(step/block levels; default 1)")
+    ap.add_argument("--jfix", default="outer", choices=["outer", "kernel"],
+                    help="3D j-frame restoration: outer fixup (default) "
+                    "or in-kernel restore")
     ap.add_argument("--prefetch", type=int, default=2, choices=[1, 2],
                     help="window-fetch pipeline depth: 2 = double-"
                     "buffered DMA (default), 1 = synchronous fetch")
@@ -74,7 +77,7 @@ def main(argv=None):
             check=args.check, gold_only=args.gold, dtype=args.dtype,
             trapezoid=args.trapezoid, lane_mode=args.lane_mode, ch=args.ch,
             shards=args.shard, vfuse=args.vfuse, block=args.block,
-            prefetch=args.prefetch,
+            prefetch=args.prefetch, jfix=args.jfix,
         )
     except native_bridge.NativeError as e:
         print(str(e), file=sys.stderr)

@@ -57,11 +57,11 @@ def _get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
         ]
         lib.drs_free.restype = None
         lib.drs_free.argtypes = [ctypes.c_void_p]
-        if lib.drs_abi_version() != 7:
+        if lib.drs_abi_version() != 8:
             raise NativeError(
                 "libdrstencil ABI mismatch (stale build?) — "
                 "run `make -C native clean libdrstencil.so`"
@@ -97,14 +97,15 @@ def emit(stc_text: str, name: str = "stencil", step: int = 1,
          check: bool = False, gold_only: bool = False,
          dtype: str = "float32", trapezoid: bool = False,
          lane_mode: str = "", ch: int = 0, shards: int = 0,
-         vfuse: bool = False, block: int = 1, prefetch: int = 2) -> str:
+         vfuse: bool = False, block: int = 1, prefetch: int = 2,
+         jfix: str = "outer") -> str:
     """Emit a specialized Pallas program via the native emitter."""
     lib = _get_lib()
     ptr = lib.drs_emit(
         stc_text.encode(), name.encode(), step, distance, merge_forward,
         tm, int(check), int(gold_only), dtype.encode(),
         int(trapezoid), (lane_mode or "").encode(), ch, shards,
-        int(vfuse), int(block), prefetch,
+        int(vfuse), int(block), prefetch, jfix.encode(),
     )
     out = _consume(lib, ptr)
     if out.startswith('{"error"'):

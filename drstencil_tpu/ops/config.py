@@ -76,6 +76,15 @@ class KernelConfig:
     # per-step VPU op growth at +0-10% on star/5pt/box tables.
     # Requires trapezoid, step % block == 0, block < step.
     block: int = 1
+    # 3D j-frame restoration strategy: "outer" (default) fixes the
+    # within-plane frozen frame after each application via two
+    # dynamic_update_slices on a plane-view reshape of the padded buffer
+    # (measured ~0.43 ms/pair of XLA copy ops on 3d7pt_star, ~7% of the
+    # module); "kernel" restores it inside the Pallas kernel from a
+    # grid-invariant frame-slab input via 8-row aligned read-modify-
+    # write stores (plane starts are 8-aligned in the tall layout, so
+    # the dynamic offsets are provably mod-8 for Mosaic).  3D only.
+    jfix: str = "outer"
     # pipeline buffer depth for the streamed window fetch: 2 = Mosaic's
     # default double-buffered DMA (prefetch on), 1 = synchronous fetch
     # (prefetch off; the reference's --prefetch=0, codegen.hpp:116-141).
@@ -117,6 +126,8 @@ class KernelConfig:
             parts.append(self.lane_mode)
         if self.prefetch != 2:
             parts.append(f"pf{self.prefetch}")
+        if self.jfix != "outer":
+            parts.append("jfk")
         if self.dtype != "float32":
             parts.append(self.dtype)
         return "_".join(parts)

@@ -510,6 +510,28 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
     lo_segs = segments(g.pr, fr)
     hi_segs = segments(g.pr + g.rows - fr, fr)
 
+    # In-kernel 3D j-frame restoration (cfg.jfix == "kernel"): instead of
+    # the post-kernel dynamic_update_slice fixup (two XLA copies, ~0.43
+    # ms/pair on 3d7pt_star), the kernel overwrites each plane's first/
+    # last h output rows from a grid-invariant frame-slab input.  Plane
+    # starts are multiples of mid (and mid, tm are multiples of 8), so
+    # every slab sits inside one 8-aligned row block of exactly one
+    # strip — an 8-row read-modify-write at a provably mod-8 dynamic
+    # offset, which Mosaic accepts.  Values are identical to the outer
+    # fixup (same jframe slabs, same final-writer ordering).
+    jfk = cfg.jfix == "kernel"
+    if cfg.jfix not in ("outer", "kernel"):
+        raise ValueError(f"jfix must be 'outer' or 'kernel', got {cfg.jfix}")
+    if jfk:
+        if len(g.dims) != 3:
+            raise ValueError("jfix='kernel' is 3D-only")
+        if mid % 8 or 2 * h > 8:
+            raise ValueError(
+                f"jfix='kernel' needs mid % 8 == 0 and 2*h <= 8 "
+                f"(mid={mid}, h={h})"
+            )
+    planes8 = (g.rows_padded // mid) * 8 if jfk else 0
+
     # Accumulate in row chunks of ~2 MB so Mosaic never materializes a
     # full (tm, wb) temporary per tap (observed: 150+ MB of register
     # spills at tm=8192 with whole-strip accumulation); sweepable (cfg.ch).
@@ -518,10 +540,12 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
         raise ValueError(f"ch={ch} must divide tm={tm} and be a multiple of 8")
 
     def kernel(a_ref, *refs):
+        refs = list(refs)
         if row_frame:
-            lo_ref, hi_ref, face_ref, o_ref, carry, *scratch = refs
-        else:
-            face_ref, o_ref, carry, *scratch = refs
+            lo_ref, hi_ref = refs.pop(0), refs.pop(0)
+        face_ref = refs.pop(0)
+        jf_ref = refs.pop(0) if jfk else None
+        o_ref, carry, *scratch = refs
         i = pl.program_id(0)
 
         # straddle carry: rows [0, hc) come from the previous strip's work
@@ -705,6 +729,44 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
                     def _(loc=loc, src=src, ln=ln, slab=slab):
                         o_ref[loc : loc + ln] = slab[src : src + ln]
 
+        # in-kernel j-frame restore (jfix="kernel"): final writer of each
+        # plane's first/last h rows within this tile.  jf_ref row block
+        # [p*8, p*8+8) holds plane p's (lo h rows, hi h rows, pad).
+        if jfk:
+            # Every dynamic offset is clamped in units of 8-row blocks and
+            # multiplied by 8 LAST: Mosaic must statically prove sublane
+            # offsets are multiples of 8, its alignment analysis does not
+            # propagate through min/max, and it cannot see through the
+            # pl.when predicates — a trailing *8 makes the proof trivial
+            # while the clamp keeps the access in-bounds; the predicates
+            # still gate the stores semantically.
+            def _clamp8(x, hi_b):
+                return jnp.minimum(jnp.maximum(x // 8, 0), hi_b // 8) * 8
+
+            p0 = (i * tm) // mid
+            n_planes = g.rows_padded // mid
+            for k in range(tm // mid + 2):
+                p = p0 + k
+                pc8 = _clamp8(p * 8, (n_planes - 1) * 8)
+                rs = p * mid - i * tm            # plane-start tile row
+                fl = rs + mid - 8                # 8-block holding hi slab
+
+                @pl.when((rs >= 0) & (rs <= tm - 8))
+                def _(pc8=pc8, rs=_clamp8(rs, tm - 8)):
+                    jf8 = jf_ref[pl.ds(pc8, 8), :]
+                    v = o_ref[pl.ds(rs, 8), :]
+                    o_ref[pl.ds(rs, 8), :] = jnp.concatenate(
+                        [jf8[0:h], v[h:8]], axis=0
+                    )
+
+                @pl.when((fl >= 0) & (fl <= tm - 8))
+                def _(pc8=pc8, fl=_clamp8(fl, tm - 8)):
+                    jf8 = jf_ref[pl.ds(pc8, 8), :]
+                    v = o_ref[pl.ds(fl, 8), :]
+                    o_ref[pl.ds(fl, 8), :] = jnp.concatenate(
+                        [v[0 : 8 - h], jf8[h : 2 * h]], axis=0
+                    )
+
     def win_map(i):
         return (i * tm, 0)
 
@@ -739,6 +801,11 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
     in_specs.append(
         pl.BlockSpec((tm, 2 * h), tile_map, memory_space=pltpu.VMEM)
     )
+    if jfk:
+        # grid-invariant j-frame slab block (plane p at rows [p*8, p*8+8))
+        in_specs.append(
+            pl.BlockSpec((planes8, wb), const_map, memory_space=pltpu.VMEM)
+        )
     out_spec = pl.BlockSpec((tm, wb), tile_map, memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
@@ -778,10 +845,18 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
         def f(src_padded, dst_slabs):
             if row_frame:
                 lo, hi, face, jframe = dst_slabs
-                out = call(src_padded, lo, hi, face)
+                args = (src_padded, lo, hi, face)
             else:
                 face, jframe = dst_slabs
-                out = call(src_padded, face)
+                args = (src_padded, face)
+            if jfk:
+                # kernel-side restore: slab padded (planes, 2h→8, wb) and
+                # flattened tall; XLA hoists/fuses this tiny reshape
+                jf = jnp.pad(
+                    jframe, ((0, 0), (0, 8 - 2 * h), (0, 0))
+                ).reshape(planes8, wb)
+                return call(*args, jf)
+            out = call(*args)
             # strided j-frame fixup on a free plane-aligned reshape view:
             # touches 2h/M of the buffer, in place under donation
             v = out.reshape(planes, mid, wb)

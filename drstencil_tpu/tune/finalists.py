@@ -81,7 +81,7 @@ def emit_artifact(spec, cfg: KernelConfig, out_dir: str) -> None:
             merge_forward=cfg.merge_forward, tm=cfg.tm or 0, check=True,
             dtype=cfg.dtype, trapezoid=cfg.trapezoid,
             lane_mode=cfg.lane_mode or "", ch=cfg.ch or 0, vfuse=cfg.vfuse,
-            block=cfg.block, prefetch=cfg.prefetch,
+            block=cfg.block, prefetch=cfg.prefetch, jfix=cfg.jfix,
         )
         cu_dir = os.path.join(out_dir, "cu")
         os.makedirs(cu_dir, exist_ok=True)

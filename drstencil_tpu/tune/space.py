@@ -55,6 +55,8 @@ def vmem_estimate(spec: StencilSpec, cfg: KernelConfig) -> Optional[Candidate]:
         + 3 * g.frame_rows * g.wb     # lo/hi slabs + headroom
         + g.hrow * g.lanes            # straddle carry
     )
+    if cfg.jfix == "kernel":
+        bytes_ += item * (g.rows_padded // g.mid) * 8 * g.wb  # jf const slab
     if cfg.factor:
         bytes_ += 4 * g.window * g.wb * min(2 * cfg.step - 1, 3)
     elif cfg.trapezoid and cfg.step > 1 and not cfg.vfuse:
@@ -159,20 +161,30 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
                 ) else (False,)
                 if ch is not None and ch < 32:
                     vfs = (False,)
+                # 3D j-frame restoration is a swept axis: in-kernel
+                # restore measured 8% FASTER on 3d7pt_star but 13%
+                # SLOWER on 3d9pt_cross (round 5, tuning/exp_jfix.py) —
+                # per-stencil, like fusion depth
+                jfixes = ("outer", "kernel") if (
+                    is3d and spec.dims[1] % 8 == 0
+                    and 2 * step * base_order <= 8
+                ) else ("outer",)
                 for vf in vfs:
-                    cand = vmem_estimate(
-                        spec, KernelConfig(variant="stream", step=step,
-                                           tm=tm, lane_mode=lm,
-                                           trapezoid=trap, ch=ch,
-                                           vfuse=vf, block=blk)
-                    )
-                    if cand is None:
-                        continue
-                    key = cand.cfg.label()
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    yield cand
+                    for jfx in jfixes:
+                        cand = vmem_estimate(
+                            spec, KernelConfig(variant="stream", step=step,
+                                               tm=tm, lane_mode=lm,
+                                               trapezoid=trap, ch=ch,
+                                               vfuse=vf, block=blk,
+                                               jfix=jfx)
+                        )
+                        if cand is None:
+                            continue
+                        key = cand.cfg.label()
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        yield cand
         # NOTE: cfg.factor (ir/factor.py convolution factorization) is
         # deliberately NOT swept: measured on v5e it loses ~1.4x to the
         # plain trapezoid (per-level fixed cost dominates; see the

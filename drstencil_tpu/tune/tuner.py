@@ -381,7 +381,7 @@ class Tuner:
                 tm=cfg.tm or 0, check=True, dtype=cfg.dtype,
                 trapezoid=cfg.trapezoid, lane_mode=cfg.lane_mode or "",
                 ch=cfg.ch or 0, vfuse=cfg.vfuse, block=cfg.block,
-                prefetch=cfg.prefetch,
+                prefetch=cfg.prefetch, jfix=cfg.jfix,
             )
             cu_dir = os.path.join(self.out_dir, "cu")
             os.makedirs(cu_dir, exist_ok=True)

@@ -48,7 +48,8 @@ char* drs_analyze(const char* stc_text, const char* name, int step,
 char* drs_emit(const char* stc_text, const char* name, int step, int distance,
                int merge_forward, int tm, int check, int gold_only,
                const char* dtype, int trapezoid, const char* lane_mode,
-               int ch, int shards, int vfuse, int block, int prefetch) {
+               int ch, int shards, int vfuse, int block, int prefetch,
+               const char* jfix) {
     try {
         drs::Spec spec = drs::parse_stc(stc_text, name ? name : "stencil");
         if (shards > 0) {
@@ -74,6 +75,7 @@ char* drs_emit(const char* stc_text, const char* name, int step, int distance,
             throw drs::StcError("prefetch depth must be 1 or 2 (Mosaic "
                                 "pipeline limit)");
         cfg.prefetch = prefetch > 0 ? prefetch : 2;
+        if (jfix && *jfix) cfg.jfix = jfix;
         return dup_string(drs::emit_program(an, cfg, "(via libdrstencil)"));
     } catch (const std::exception& e) {
         return error_json(e.what());
@@ -82,6 +84,6 @@ char* drs_emit(const char* stc_text, const char* name, int step, int distance,
 
 void drs_free(char* p) { std::free(p); }
 
-int drs_abi_version() { return 7; }
+int drs_abi_version() { return 8; }
 
 }  // extern "C"

@@ -58,6 +58,10 @@ Options:
 --vfuse                 With --trapezoid: chain intermediate levels through
                         chunk-local values instead of VMEM scratch.
 
+--jfix <m>              3D j-frame restoration: outer (post-kernel fixup,
+                        default) | kernel (in-kernel restore; measured 8%
+                        faster on 3d7pt_star).
+
 --block <b>             With --trapezoid: each level applies the b-step
                         coefficient-fused base operator (step/b levels —
                         the hybrid of the two fusion strategies; default 1).
@@ -141,6 +145,7 @@ int main(int argc, char** argv) {
         else if (a == "--trapezoid") ecfg.trapezoid = true;
         else if (a == "--shard") ecfg.shards = std::atoi(need_val(i));
         else if (a == "--vfuse") ecfg.vfuse = true;
+        else if (a == "--jfix") ecfg.jfix = need_val(i);
         else if (a == "--block") ecfg.block = std::atoi(need_val(i));
         else if (a == "--check") ecfg.check = true;
         else if (a == "--gold") ecfg.gold_only = true;

@@ -324,3 +324,34 @@ def test_prefetch_depth_validated():
                        prefetch=3)
     with pytest.raises(ValueError, match="prefetch"):
         StencilProgram(spec, cfg).init_state(0)
+
+
+@pytest.mark.parametrize("name,cfg_kw", [
+    ("3d7pt_star", dict(step=1, tm=56)),
+    ("3d7pt_star", dict(step=2, tm=72, trapezoid=True)),
+    ("3d9pt_cross", dict(step=2, tm=72, trapezoid=True)),
+])
+def test_jfix_kernel_matches_outer(name, cfg_kw):
+    """In-kernel 3D j-frame restoration (jfix='kernel') must produce
+    exactly the outer dynamic_update_slice fixup's state: same jframe
+    slab values, same final-writer ordering — only the writer moves
+    from two XLA copies into the Pallas kernel."""
+    spec = small_spec(name, dims=(16, 16, 256))
+    base = KernelConfig(variant="stream", interpret=True, **cfg_kw)
+    po = StencilProgram(spec, base)
+    pk = StencilProgram(spec, base.replace(jfix="kernel"))
+    assert pk.cfg.label().endswith("_jfk")
+    so = po.run_pairs(po.init_state(9), 2)
+    sk = pk.run_pairs(pk.init_state(9), 2)
+    np.testing.assert_array_equal(pk.final_a(sk), po.final_a(so))
+
+
+def test_jfix_kernel_guards():
+    spec2d = small_spec("2d5pt_star", dims=(64, 256))
+    with pytest.raises(ValueError, match="3D-only"):
+        StencilProgram(spec2d, KernelConfig(
+            variant="stream", step=1, tm=16, interpret=True, jfix="kernel"))
+    spec3d = small_spec("3d7pt_star", dims=(16, 16, 256))
+    with pytest.raises(ValueError, match="jfix"):
+        StencilProgram(spec3d, KernelConfig(
+            variant="stream", step=1, tm=56, interpret=True, jfix="bogus"))

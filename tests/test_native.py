@@ -614,3 +614,50 @@ def test_emitted_prefetch_depth(tmp_path):
         step=2, tm=16,
     )
     assert "PIPELINE_MODE = None" in text2
+
+
+def test_emitted_matches_library_jfix_kernel(tmp_path):
+    """Bit-identical parity for the in-kernel 3D j-frame restore
+    (--jfix kernel): the emitted program's kernel must reproduce the
+    library jfk kernel exactly (restore is pure copies from the same
+    slab, same final-writer ordering)."""
+    import jax
+    from drstencil_tpu.ops.config import KernelConfig
+    from drstencil_tpu.ops.runner import StencilProgram
+    from drstencil_tpu.ir import golden as gold_mod
+
+    spec = small_spec("3d7pt_star", dims=(16, 16, 256))
+    stc = spec.to_stc()
+    cfg = KernelConfig(variant="stream", step=2, tm=72, trapezoid=True,
+                       interpret=True, jfix="kernel")
+    prog = StencilProgram(spec, cfg)
+    state = prog.init_state(5)
+    state = prog.run_pairs(state, 1)
+    lib_out = prog.final_a(state)
+
+    text = native_bridge.emit(stc, "tiny", step=2, tm=72, trapezoid=True,
+                              jfix="kernel")
+    assert "jf_ref" in text and "JFK = True" in text
+    g = {"__name__": "gen"}
+    exec(compile(text, "gen.py", "exec"), g)
+    a0, b0 = gold_mod.random_state(spec, 5, dtype=np.float64)
+    a0, b0 = a0.astype(np.float32), b0.astype(np.float32)
+    call = g["build_call"](True)
+    import jax.numpy as jnp
+
+    def apply_fn(src, slabs):
+        lo, hi, face, jframe = slabs
+        jf = jnp.pad(jframe, ((0, 0), (0, 8 - 2 * g["H"]), (0, 0))
+                     ).reshape(g["NPLANES"] * 8, g["WB"])
+        return call(src, lo, hi, face, jf)
+
+    a = jnp.asarray(g["pad_state"](a0))
+    b = jnp.asarray(g["pad_state"](b0))
+    sa = tuple(map(jnp.asarray, g["make_slabs"](a0)))
+    sb = tuple(map(jnp.asarray, g["make_slabs"](b0)))
+    b = apply_fn(a, sb)
+    a = apply_fn(b, sa)
+    gen_out = np.asarray(a)[
+        g["PR"] : g["PR"] + 16 * 16, g["PC"] : g["PC"] + g["N"]
+    ]
+    np.testing.assert_array_equal(gen_out, lib_out.reshape(16 * 16, g["N"]))
