@@ -340,6 +340,14 @@ def _chain_columns(cvecs):
 DEEP_LEVELS = 5
 
 
+def jfk_legal(mid: int, h: int) -> bool:
+    """Whether the in-kernel j-frame restore (jfix='kernel') is buildable:
+    plane rows must be 8-aligned and both h-row slabs must fit one
+    8-row RMW block.  Single source of truth for the kernel guard and
+    the tuner space gate (tune/space.py)."""
+    return mid % 8 == 0 and 2 * h <= 8
+
+
 def n_levels(an: Analysis, cfg: KernelConfig) -> int:
     """Trapezoid level count: step base applications, or step/block
     applications of the block-step coefficient-fused operator."""
@@ -517,15 +525,19 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
     # starts are multiples of mid (and mid, tm are multiples of 8), so
     # every slab sits inside one 8-aligned row block of exactly one
     # strip — an 8-row read-modify-write at a provably mod-8 dynamic
-    # offset, which Mosaic accepts.  Values are identical to the outer
-    # fixup (same jframe slabs, same final-writer ordering).
+    # offset, which Mosaic accepts.  Real-region values are identical to
+    # the outer fixup (same jframe slabs, same final-writer ordering);
+    # the tail padding planes past the last strip differ (the grid never
+    # visits them, the outer DUS writes them) — they only ever feed
+    # frozen-frame outputs, but a full-padded-buffer comparison across
+    # the two modes would see path-dependent bytes there.
     jfk = cfg.jfix == "kernel"
     if cfg.jfix not in ("outer", "kernel"):
         raise ValueError(f"jfix must be 'outer' or 'kernel', got {cfg.jfix}")
     if jfk:
         if len(g.dims) != 3:
             raise ValueError("jfix='kernel' is 3D-only")
-        if mid % 8 or 2 * h > 8:
+        if not jfk_legal(mid, h):
             raise ValueError(
                 f"jfix='kernel' needs mid % 8 == 0 and 2*h <= 8 "
                 f"(mid={mid}, h={h})"
@@ -851,7 +863,11 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
                 args = (src_padded, face)
             if jfk:
                 # kernel-side restore: slab padded (planes, 2h→8, wb) and
-                # flattened tall; XLA hoists/fuses this tiny reshape
+                # flattened tall.  This pad+reshape runs per application
+                # (~8 MB copy ≈ 10-20 us on the 3D winners — inside the
+                # measured jfk win); hoisting it would change the
+                # make_slabs shape contract shared with the emitter and
+                # shard paths, not worth it at this cost.
                 jf = jnp.pad(
                     jframe, ((0, 0), (0, 8 - 2 * h), (0, 0))
                 ).reshape(planes8, wb)

@@ -166,8 +166,8 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
                 # SLOWER on 3d9pt_cross (round 5, tuning/exp_jfix.py) —
                 # per-stencil, like fusion depth
                 jfixes = ("outer", "kernel") if (
-                    is3d and spec.dims[1] % 8 == 0
-                    and 2 * step * base_order <= 8
+                    is3d and stream_mod.jfk_legal(
+                        spec.dims[1], step * base_order)
                 ) else ("outer",)
                 for vf in vfs:
                     for jfx in jfixes:

@@ -355,3 +355,14 @@ def test_jfix_kernel_guards():
     with pytest.raises(ValueError, match="jfix"):
         StencilProgram(spec3d, KernelConfig(
             variant="stream", step=1, tm=56, interpret=True, jfix="bogus"))
+    # legality guard (shared with the tuner space gate via jfk_legal):
+    # mid not divisible by 8 -> 8-row RMW blocks would straddle planes
+    spec_m12 = small_spec("3d7pt_star", dims=(16, 12, 256))
+    with pytest.raises(ValueError, match="mid % 8"):
+        StencilProgram(spec_m12, KernelConfig(
+            variant="stream", step=1, tm=56, interpret=True, jfix="kernel"))
+    # 2*h > 8: fused halo too tall for one RMW block (step 8 -> h=8)
+    with pytest.raises(ValueError, match="2\\*h"):
+        StencilProgram(spec3d, KernelConfig(
+            variant="stream", step=8, tm=280, trapezoid=True,
+            interpret=True, jfix="kernel"))
