@@ -26,7 +26,15 @@ from drstencil_tpu.ir.spec import StencilSpec
 from drstencil_tpu.ops.config import KernelConfig
 from drstencil_tpu.ops import stream as stream_mod
 
-VMEM_BUDGET_BYTES = 100 * 1024 * 1024  # leave headroom under the 128MB core
+# The kernel runs under vmem_limit_bytes=128MB; the estimate below is
+# conservative (3x frame slabs where one is headroom, both pipeline
+# buffers counted full), so admit configs up to 124MB and let the
+# tuner's per-config gate skip-and-log the genuinely-infeasible tail
+# (Mosaic rejects VMEM overflow at lowering).  The 100MB round-2
+# budget hid the fp32 trap winners' next-door tile sizes on the 3D
+# stencils (est 120.3MB for fu4_tm6160) while their bf16 twins
+# measured and won their families.
+VMEM_BUDGET_BYTES = 124 * 1024 * 1024
 
 
 @dataclass(frozen=True)
@@ -57,6 +65,8 @@ def vmem_estimate(spec: StencilSpec, cfg: KernelConfig) -> Optional[Candidate]:
     )
     if cfg.jfix == "kernel":
         bytes_ += item * (g.rows_padded // g.mid) * 8 * g.wb  # jf const slab
+    # level/factor scratch buffers are always fp32 in the kernel
+    # (accumulation dtype), hence the literal 4 rather than `item`
     if cfg.factor:
         bytes_ += 4 * g.window * g.wb * min(2 * cfg.step - 1, 3)
     elif cfg.trapezoid and cfg.step > 1 and not cfg.vfuse:
@@ -75,10 +85,35 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
     is3d = spec.ndim == 3
     # trapezoid keeps per-step FLOPs flat while traffic/step falls as
     # 1/step, so deep fusion keeps winning until compute- or VMEM-bound
-    steps = (1, 2, 3, 4, 6, 8)
+    steps = (1, 2, 3, 4, 5, 6, 8)
     seen = set()
     for step in steps:
         base_order = order_of(fuse(spec.taps, 1))
+        # Distance: auto (0) when the default partition works.  The
+        # generated kernel is distance-invariant (the haloed tile lives
+        # whole in VMEM; distance only shapes the partition metadata),
+        # but analyze() keeps the reference's hard "No data to reuse"
+        # error — which at the default distance rejects pure-diagonal
+        # stencils at odd steps (3d9pt_cross fu3).  The reference tuner
+        # handles exactly this by sweeping --dist over
+        # [(step-1)*order, step*order] (tuning.py:24-25); mirror that as
+        # a fallback to the largest valid distance in the range, so odd
+        # steps stay in the space with one representative (the program
+        # is identical for every valid distance).
+        distance = 0
+        try:
+            analyze(spec, step=step)
+        except AnalysisError:
+            lo = max(1, (step - 1) * base_order)
+            for d in range(step * base_order, lo - 1, -1):
+                try:
+                    analyze(spec, step=step, distance=d)
+                    distance = d
+                    break
+                except AnalysisError:
+                    continue
+            else:
+                continue  # no valid distance at this step (reference parity)
         if is3d:
             # tall layout: tm must exceed the fused row halo h*M + h
             hrow = step * base_order * spec.dims[1] + step * base_order
@@ -173,6 +208,7 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
                     for jfx in jfixes:
                         cand = vmem_estimate(
                             spec, KernelConfig(variant="stream", step=step,
+                                               distance=distance,
                                                tm=tm, lane_mode=lm,
                                                trapezoid=trap, ch=ch,
                                                vfuse=vf, block=blk,
@@ -196,6 +232,7 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
                                           traps):
             cand = vmem_estimate(
                 spec, KernelConfig(variant="stream", step=step, tm=tm,
+                                   distance=distance,
                                    trapezoid=trap, dtype="bfloat16",
                                    lane_mode=None if is3d else "roll")
             )
@@ -206,12 +243,8 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
                 continue
             seen.add(key)
             yield cand
-        # XLA baseline variant (no tiling knobs)
-        try:
-            analyze(spec, step=step)
-        except AnalysisError:
-            continue
-        cfg = KernelConfig(variant="xla", step=step)
+        # XLA baseline variant (no tiling knobs; distance resolved above)
+        cfg = KernelConfig(variant="xla", step=step, distance=distance)
         if cfg.label() not in seen:
             seen.add(cfg.label())
             yield Candidate(cfg=cfg, vmem_bytes=0, window=0)
