@@ -380,3 +380,34 @@ def test_shortlist_ranks_by_sol_objective_not_raw_ms(tmp_path):
     top = top_configs([str(path)], 2)
     assert top[0][1] == "fp32_cfg"  # wins on SoL-normalized objective
     assert top[1][1] == "bf16_cfg"
+
+
+def test_space_distance_fallback_on_odd_step_diagonal():
+    """Pure-diagonal stencils have no data reuse at the default distance
+    for odd steps; the reference tuner handles this by sweeping --dist
+    over [(step-1)*order, step*order] (tuning.py:24-25).  The space must
+    keep those steps via an explicit-distance representative (the
+    generated kernel is distance-invariant) rather than dropping them."""
+    spec = small_spec("3d9pt_cross", dims=(24, 24, 256))
+    cands = list(default_space(spec))
+    odd = [c for c in cands if c.cfg.variant == "stream" and c.cfg.step == 3]
+    assert odd, "step-3 candidates missing from the diagonal-3D space"
+    # representative distance = largest valid in the reference range
+    assert all(c.cfg.distance == 2 for c in odd)
+    assert all("_d2_" in c.cfg.label() for c in odd)
+    # even steps keep auto distance (no label noise)
+    even = [c for c in cands if c.cfg.variant == "stream" and c.cfg.step == 2]
+    assert even and all(c.cfg.distance == 0 for c in even)
+
+
+def test_space_includes_step5_deep_trapezoid():
+    """step 5 (== DEEP_LEVELS: fori-loop level compilation) is swept."""
+    from drstencil_tpu.ops import stream as stream_mod
+
+    spec = small_spec("2d25pt_box")
+    cands = [c for c in default_space(spec)
+             if c.cfg.variant == "stream" and c.cfg.step == 5]
+    assert cands
+    assert all(c.cfg.trapezoid for c in cands)  # fused 5-step taps > 64
+    assert stream_mod.DEEP_LEVELS == 5  # the deep path covers these
+    assert all(not c.cfg.vfuse for c in cands)  # vfuse needs lv < DEEP
