@@ -661,3 +661,60 @@ def test_emitted_matches_library_jfix_kernel(tmp_path):
         g["PR"] : g["PR"] + 16 * 16, g["PC"] : g["PC"] + g["N"]
     ]
     np.testing.assert_array_equal(gen_out, lib_out.reshape(16 * 16, g["N"]))
+
+
+def test_emitted_matches_library_odd_step_distance(tmp_path):
+    """Bit-identical parity for an explicit-distance config — the family
+    the widened tuner space unlocks (pure-diagonal stencils have no data
+    reuse at the default distance for odd steps; the space falls back to
+    the largest valid distance in the reference range, which is analysis
+    metadata only).  Library step=3/distance=2 vs emitted --dist 2."""
+    import jax
+    from drstencil_tpu.ops.config import KernelConfig
+    from drstencil_tpu.ops.runner import StencilProgram
+    from drstencil_tpu.ir import golden as gold_mod
+    from drstencil_tpu.ir.passes import AnalysisError, analyze
+
+    spec = small_spec("3d9pt_cross", dims=(24, 8, 256))
+    # the default distance must reject (reference "No data to reuse")
+    with pytest.raises(AnalysisError):
+        analyze(spec, step=3)
+    cfg = KernelConfig(variant="stream", step=3, distance=2, tm=32,
+                       trapezoid=True, lane_mode="roll", interpret=True)
+    prog = StencilProgram(spec, cfg)
+    state = prog.init_state(7)
+    state = prog.run_pairs(state, 1)
+    lib_out = prog.final_a(state)
+
+    body = "".join(f"{o[0]} {o[1]} {o[2]} {c}\n"
+                   for o, c in sorted(spec.taps.items()))
+    text = native_bridge.emit(
+        "L 24\nM 8\nN 256\niterations 4\nstencil\n" + body,
+        "tiny3dd2", step=3, distance=2, tm=32, trapezoid=True,
+        lane_mode="roll",
+    )
+    g = {"__name__": "gen"}
+    exec(compile(text, "gen_d2.py", "exec"), g)
+    a0, b0 = gold_mod.random_state(spec, 7, dtype=np.float64)
+    a0, b0 = a0.astype(np.float32), b0.astype(np.float32)
+    call = g["build_call"](True)
+    MID, H, RP, WB = g["MID"], g["H"], g["ROWS_PADDED"], g["WB"]
+
+    def apply_fn(src, slabs):
+        lo, hi, face, jframe = slabs
+        out = call(src, lo, hi, face)
+        v = out.reshape(RP // MID, MID, WB)
+        v = jax.lax.dynamic_update_slice(v, jframe[:, :H, :], (0, 0, 0))
+        v = jax.lax.dynamic_update_slice(v, jframe[:, H:, :],
+                                         (0, MID - H, 0))
+        return v.reshape(RP, WB)
+
+    a = g["pad_state"](a0)
+    sa = g["make_slabs"](a0)
+    sb = g["make_slabs"](b0)
+    b = apply_fn(jax.numpy.asarray(a), tuple(map(jax.numpy.asarray, sb)))
+    a = apply_fn(b, tuple(map(jax.numpy.asarray, sa)))
+    gen_out = np.asarray(a)[
+        g["PR"] : g["PR"] + g["R"], g["PC"] : g["PC"] + g["N"]
+    ].reshape(spec.dims)
+    np.testing.assert_array_equal(gen_out, lib_out)
