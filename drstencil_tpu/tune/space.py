@@ -189,10 +189,18 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
                     except Exception:
                         pass
             for blk in blocks:
-                # vfuse legality follows LEVELS (step/block), see stream
+                # vfuse legality follows LEVELS (step/block), see stream.
+                # 3D vfuse is excluded from the space: the family is
+                # fully priced and loses everywhere it compiles (ten+
+                # ledger entries, best 1.12 vs winners 0.83-0.90 — the
+                # chunk-overlap recompute scales with the 3D row halo
+                # h*M+h), and at window >= ~10k rows it becomes a Mosaic
+                # hang class (fu4_tm6160_trap_vf: 420s timeout, r5c) —
+                # same treatment as 3D block-fused levels above.
                 lv = step // blk
                 vfs = (False, True) if (
-                    trap and lm != "slice" and lv < stream_mod.DEEP_LEVELS
+                    trap and lm != "slice" and not is3d
+                    and lv < stream_mod.DEEP_LEVELS
                 ) else (False,)
                 if ch is not None and ch < 32:
                     vfs = (False,)
