@@ -398,6 +398,31 @@ def test_space_distance_fallback_on_odd_step_diagonal():
     # even steps keep auto distance (no label noise)
     even = [c for c in cands if c.cfg.variant == "stream" and c.cfg.step == 2]
     assert even and all(c.cfg.distance == 0 for c in even)
+    # step 5 gets the same treatment (d4 = largest valid)
+    d4 = [c for c in cands if c.cfg.variant == "stream" and c.cfg.step == 5]
+    assert d4, "step-5 candidates missing from the diagonal-3D space"
+    assert all(c.cfg.distance == 4 for c in d4)
+
+
+def test_space_fallback_candidates_build():
+    """Every explicit-distance candidate the space emits must survive
+    plan time (StencilProgram construction runs analyze + the full
+    kernel build).  Regression: r5c recorded 'No data to reuse at
+    distance 4' ledger errors for fu5_d4 configs generated under
+    mid-edit code — a space/planner disagreement must fail HERE, in a
+    CPU test, not as poisoned error entries in a hardware ledger."""
+    from drstencil_tpu.ops.runner import StencilProgram
+
+    spec = small_spec("3d9pt_cross", dims=(24, 24, 256))
+    by_step = {}
+    for c in default_space(spec):
+        if c.cfg.variant == "stream" and c.cfg.distance != 0:
+            by_step.setdefault(c.cfg.step, c.cfg)
+    assert set(by_step) == {3, 5}
+    for step, cfg in sorted(by_step.items()):
+        cfg = cfg.replace(interpret=True)
+        prog = StencilProgram(spec, cfg)  # plan-time legality
+        assert prog.an.distance == cfg.distance
 
 
 def test_space_includes_step5_deep_trapezoid():
