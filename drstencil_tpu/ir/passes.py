@@ -20,7 +20,7 @@ shared-memory ``Range`` (codegen.hpp:89).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, FrozenSet, Mapping, Tuple
+from typing import Dict, FrozenSet, Mapping, Optional, Tuple
 
 from drstencil_tpu.ir.spec import Offset, StencilSpec, Taps
 
@@ -211,7 +211,10 @@ class Analysis:
     fused: Mapping[Offset, float]
     order: int
     distance: int
-    part: Partition
+    # None only for non-streaming consumers (analyze(...,
+    # require_partition=False)): the XLA gold applies the fused operator
+    # whole and has no streaming structure to partition.
+    part: Optional[Partition]
 
     @property
     def halo(self) -> int:
@@ -224,14 +227,29 @@ def analyze(
     step: int = 1,
     distance: int = 0,
     merge_forward: int = 5,
+    require_partition: bool = True,
 ) -> Analysis:
     """Run the full reference pass pipeline: fuse → order/distance →
     partition → range (main.cpp:247-249 ordering: everything downstream of
-    fusing operates on the *fused* stencil)."""
+    fusing operates on the *fused* stencil).
+
+    ``require_partition=False`` tolerates a partition failure ("No data
+    to reuse…") and returns ``part=None``: the XLA gold variant applies
+    the fused operator whole, so it has no streaming structure to
+    partition — e.g. the step-1 gold for a deep pure-diagonal config has
+    no reuse at any distance in the step-1 reference range, yet is a
+    perfectly good differential-check reference.  Streaming/emitting
+    consumers must keep the reference's hard error (drstencil.hpp:243-246).
+    """
     fused = fuse(spec.taps, step)
     order = order_of(fused)
     dist = distance if distance != 0 else default_distance(fused)
-    part = partition(fused, dist, merge_forward)
+    try:
+        part = partition(fused, dist, merge_forward)
+    except AnalysisError:
+        if require_partition:
+            raise
+        part = None
     return Analysis(
         spec=spec, step=step, fused=fused, order=order, distance=dist, part=part
     )

@@ -79,6 +79,12 @@ class StencilProgram:
         self.an: Analysis = analyze(
             spec, step=cfg.step, distance=cfg.distance,
             merge_forward=cfg.merge_forward,
+            # The XLA variant applies the fused operator whole — no
+            # streaming partition required.  This keeps the deep-fusion
+            # device_check gold constructible for pure-diagonal stencils,
+            # whose step-1 operator has no reuse at any distance (the
+            # config's distance belongs to the deep streaming kernel).
+            require_partition=(cfg.variant != "xla"),
         )
         self.dtype = np.dtype(cfg.dtype)
         self._build()

@@ -366,3 +366,27 @@ def test_jfix_kernel_guards():
         StencilProgram(spec3d, KernelConfig(
             variant="stream", step=8, tm=280, trapezoid=True,
             interpret=True, jfix="kernel"))
+
+
+def test_deep_gold_tolerates_unpartitionable_step1():
+    """Deep-fusion device_check builds a step-1 XLA gold via
+    cfg.replace(step=1) — on pure-diagonal stencils the step-1 operator
+    has no streaming reuse at ANY distance in the reference range, so
+    the gold's analysis must not require a partition (r5d regression:
+    every 3d9pt_cross fu5_d4/fu6 hardware measurement died at plan time
+    inside device_check with 'No data to reuse at distance 4/1')."""
+    from drstencil_tpu.ir.passes import AnalysisError, analyze
+
+    spec = small_spec("2d5pt_cross", dims=(96, 256))
+    # strict analysis still errors (reference parity, drstencil.hpp:243)
+    with pytest.raises(AnalysisError, match="No data to reuse"):
+        analyze(spec, step=1, distance=4)
+    an = analyze(spec, step=1, distance=4, require_partition=False)
+    assert an.part is None and an.distance == 4
+
+    # end-to-end: a deep diagonal config device_checks against the
+    # composed step-1 gold (this exact call was the hardware failure)
+    cfg = KernelConfig(variant="stream", step=5, distance=4, tm=48,
+                       trapezoid=True, interpret=True)
+    prog = StencilProgram(spec, cfg)
+    assert prog.device_check(seed=0, pairs=1) < 1e-5
