@@ -36,7 +36,7 @@ if python - <<'EOF'
 import json, sys
 a = json.load(open('/tmp/tuned_before_r4b.json'))
 b = json.load(open('benchmarks/tuned.json'))
-sys.exit(0 if any(a[k]["config"] != b[k]["config"] for k in b) else 1)
+sys.exit(0 if any(a.get(k, {}).get("config") != b[k]["config"] for k in b) else 1)
 EOF
 then
   run python -u tuning/regen_baseline.py 3
