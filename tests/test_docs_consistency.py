@@ -4,25 +4,36 @@ Round-4's advisor finding: the README/BASELINE tables went stale when a
 tuned winner moved (the regen was pending but uncommitted), so three
 different "current" winners existed depending where you looked.  The
 calibration protocol says tables regenerate when a winner config moves
-(tuning/regen_baseline.py rewrites both between the RESULTS markers);
-this pins config-label agreement so staleness fails CI instead of
-waiting for a reviewer.
+(tuning/regen_baseline.py rewrites both between the RESULTS markers,
+tuning/regen_extension.py between the EXT-RESULTS markers); this pins
+config-label agreement so staleness fails CI instead of waiting for a
+reviewer.
+
+The headline table must hold exactly bench.ALL (the 8 upstream
+fixtures — the driver geomean's domain); any further tuned.json entry
+(the extension stencils) must be published in the EXT-RESULTS table and
+nowhere else.
 """
 
 import json
 import os
 import re
+import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import bench  # noqa: E402  (repo-root module; import has no side effects)
 
 
-def _table_configs(path: str) -> dict:
+def _table_configs(path: str, tag: str, required: bool = True) -> dict:
     text = open(os.path.join(ROOT, path)).read()
-    m = re.search(r"<!-- RESULTS:BEGIN -->(.*?)<!-- RESULTS:END -->",
+    m = re.search(rf"<!-- {tag}:BEGIN -->(.*?)<!-- {tag}:END -->",
                   text, re.S)
-    assert m, f"{path} has no RESULTS markers"
+    assert m, f"{path} has no {tag} markers"
     rows = re.findall(r"^\| (\S+) \| `([^`]+)` \|", m.group(1), re.M)
-    assert rows, f"{path} RESULTS table has no parsable rows"
+    if required:
+        assert rows, f"{path} {tag} table has no parsable rows"
     return dict(rows)
 
 
@@ -33,9 +44,26 @@ def test_results_tables_match_tuned_json():
     winners = {k: KernelConfig.from_dict(v["config"]).label()
                for k, v in tuned.items()}
     for doc in ("README.md", "BASELINE.md"):
-        table = _table_configs(doc)
-        assert table == winners, (
-            f"{doc} RESULTS table is stale vs benchmarks/tuned.json — "
-            f"run `python tuning/regen_baseline.py 3`\n"
-            f"table:   {table}\nwinners: {winners}"
+        head = _table_configs(doc, "RESULTS")
+        ext = _table_configs(doc, "EXT-RESULTS", required=False)
+        assert set(head) == set(bench.ALL) & set(winners), (
+            f"{doc} headline RESULTS table must hold exactly the "
+            f"tuned upstream fixtures\ntable: {sorted(head)}"
+        )
+        assert not set(ext) & set(head), (
+            f"{doc}: stencils published in both tables: "
+            f"{sorted(set(ext) & set(head))}"
+        )
+        published = {**head, **ext}
+        stale = {k: (published[k], winners.get(k)) for k in published
+                 if winners.get(k) != published[k]}
+        assert not stale, (
+            f"{doc} table is stale vs benchmarks/tuned.json — run "
+            f"`python tuning/regen_baseline.py 3` / regen_extension.py\n"
+            f"{stale}"
+        )
+        unpublished = set(winners) - set(published)
+        assert not unpublished, (
+            f"{doc}: tuned.json stencils missing from every table "
+            f"(run tuning/regen_extension.py): {sorted(unpublished)}"
         )
