@@ -35,10 +35,17 @@ def compose(a: Taps, b: Taps) -> Dict[Offset, float]:
     Offsets add, coefficients multiply-and-accumulate.  Equivalent to the
     reference's recursive ``do_fusing`` expansion (drstencil.hpp:262-276)
     but iterative (O(|a|·|b|) instead of points^step recursion).
+
+    Iteration is in sorted-offset order so the per-key fp64 accumulation
+    sequence is IDENTICAL to the native std::map loop — symmetric fused
+    entries must come out bit-equal on both sides or plan_taps' exact
+    row/column grouping diverges between the library kernel and the
+    emitted program (first seen on the 125-tap fused 3d27pt_box table,
+    where insertion-order sums drifted 1 ULP and split a row group).
     """
     out: Dict[Offset, float] = {}
-    for oa, ca in a.items():
-        for ob, cb in b.items():
+    for oa, ca in sorted(a.items()):
+        for ob, cb in sorted(b.items()):
             key = tuple(x + y for x, y in zip(oa, ob))
             out[key] = out.get(key, 0.0) + ca * cb
     return out

@@ -37,6 +37,8 @@ def winner_rows(n_shards: int = 8) -> list[dict]:
     is reported for context only; it does not change per-chip traffic
     on a 1-D mesh (one neighbor exchange per side regardless of n).
     """
+    import numpy as np
+
     tuned = json.load(open(TUNED_PATH))
     rows = []
     for name in sorted(tuned):
@@ -46,8 +48,12 @@ def winner_rows(n_shards: int = 8) -> list[dict]:
                      merge_forward=cfg.merge_forward)
         g = stream_mod.make_geometry(an, cfg)
         ms = tuned[name]["score"]["ms_per_step"]
-        m = stream_shard.halo_traffic_model(g, cfg.step, ms_per_step_single=ms)
+        # bf16 halo rows are 2 B/item on ICI (np has no bfloat16 dtype)
+        itemsize = 2 if cfg.dtype == "bfloat16" else np.dtype(cfg.dtype).itemsize
+        m = stream_shard.halo_traffic_model(g, cfg.step, itemsize=itemsize,
+                                            ms_per_step_single=ms)
         m["name"], m["config"], m["n_shards"] = name, cfg.label(), n_shards
+        m["itemsize"] = itemsize
         rows.append(m)
     return rows
 

@@ -80,15 +80,16 @@ def vmem_estimate(spec: StencilSpec, cfg: KernelConfig) -> Optional[Candidate]:
 def default_space(spec: StencilSpec) -> Iterator[Candidate]:
     """Enumerate valid candidates for one stencil (streaming variants with
     step/dist/tile sweeps, plus the XLA variant per step as a baseline)."""
-    from drstencil_tpu.ir.passes import fuse, order_of
+    from drstencil_tpu.ir.passes import (default_distance, fuse, order_of,
+                                         partition)
 
     is3d = spec.ndim == 3
     # trapezoid keeps per-step FLOPs flat while traffic/step falls as
     # 1/step, so deep fusion keeps winning until compute- or VMEM-bound
     steps = (1, 2, 3, 4, 5, 6, 8)
     seen = set()
+    base_order = order_of(spec.taps)
     for step in steps:
-        base_order = order_of(fuse(spec.taps, 1))
         # Distance: auto (0) when the default partition works.  The
         # generated kernel is distance-invariant (the haloed tile lives
         # whole in VMEM; distance only shapes the partition metadata),
@@ -99,15 +100,19 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
         # [(step-1)*order, step*order] (tuning.py:24-25); mirror that as
         # a fallback to the largest valid distance in the range, so odd
         # steps stay in the space with one representative (the program
-        # is identical for every valid distance).
+        # is identical for every valid distance).  Only partition()
+        # depends on the distance, so fuse once per step and probe the
+        # candidates against the partition directly (the fused-tap
+        # convolution is the expensive part at deep steps).
         distance = 0
+        fused = fuse(spec.taps, step)
         try:
-            analyze(spec, step=step)
+            partition(fused, default_distance(fused))
         except AnalysisError:
             lo = max(1, (step - 1) * base_order)
             for d in range(step * base_order, lo - 1, -1):
                 try:
-                    analyze(spec, step=step, distance=d)
+                    partition(fused, d)
                     distance = d
                     break
                 except AnalysisError:

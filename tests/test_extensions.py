@@ -65,8 +65,12 @@ def test_extension_native_analysis_matches_python(name):
     py_fused = sorted((list(k), v) for k, v in py.fused.items())
     nat_fused = sorted((k, v) for k, v in nat["fused"])
     assert [k for k, _ in nat_fused] == [k for k, _ in py_fused]
-    np.testing.assert_allclose(
-        [v for _, v in nat_fused], [v for _, v in py_fused], rtol=1e-15
+    # BIT-exact: plan_taps groups rows/columns by exact coefficient
+    # equality, so any ULP drift between the native and Python fuse
+    # changes the plan structure (and the summation order) of emitted
+    # vs library kernels.  compose() iterates sorted on both sides.
+    np.testing.assert_array_equal(
+        [v for _, v in nat_fused], [v for _, v in py_fused]
     )
 
 
@@ -88,10 +92,12 @@ def test_extension_tuning_space_nonempty(name):
 
 
 def test_extension_emitted_program_matches_golden(tmp_path):
-    """Native-emitted program for the 27pt box runs and matches the fp64
-    golden model on a small grid (interpret mode)."""
+    """Native-emitted program for the 27pt box EXECUTES bit-identically to
+    the library kernel (the CLAUDE.md emitter invariant, extended to the
+    9-row-group tap table), and both match the fp64 golden model."""
+    import jax
+    import jax.numpy as jnp
     from drstencil_tpu.ir import golden as gold_mod
-    from drstencil_tpu.ir.spec import StencilSpec
 
     name = "3d27pt_box"
     spec = small_spec(name, dims=(16, 16, 256))
@@ -104,9 +110,7 @@ def test_extension_emitted_program_matches_golden(tmp_path):
     )
     g = {"__name__": "gen"}
     exec(compile(text, "gen_ext27.py", "exec"), g)
-    assert callable(g["build_call"]) and callable(g["init_state"])
-
-    gold = gold_mod.run_golden(spec, step=2, seed=3, pairs=1)
+    assert g["FLAT3D"] and not g["JFK"]
 
     prog = StencilProgram(
         spec, KernelConfig(variant="stream", step=2, tm=120, interpret=True)
@@ -115,6 +119,33 @@ def test_extension_emitted_program_matches_golden(tmp_path):
     state = prog.run_pairs(state, 1)
     lib_out = prog.final_a(state)
 
+    # run the emitted kernel on the identical fp32 state (one pair)
+    a0, b0 = gold_mod.random_state(spec, 3, dtype=np.float64)
+    a0, b0 = a0.astype(np.float32), b0.astype(np.float32)
+    call = g["build_call"](True)
+    MID, H, RP, WB = g["MID"], g["H"], g["ROWS_PADDED"], g["WB"]
+
+    def apply_fn(src, slabs):
+        lo, hi, face, jframe = slabs
+        out = call(src, lo, hi, face)
+        v = out.reshape(RP // MID, MID, WB)
+        v = jax.lax.dynamic_update_slice(v, jframe[:, :H, :], (0, 0, 0))
+        v = jax.lax.dynamic_update_slice(v, jframe[:, H:, :],
+                                         (0, MID - H, 0))
+        return v.reshape(RP, WB)
+
+    a = g["pad_state"](a0)
+    sa = tuple(map(jnp.asarray, g["make_slabs"](a0)))
+    sb = tuple(map(jnp.asarray, g["make_slabs"](b0)))
+    b = apply_fn(jnp.asarray(a), sb)
+    a = apply_fn(b, sa)
+    gen_out = np.asarray(a)[
+        g["PR"] : g["PR"] + g["R"], g["PC"] : g["PC"] + g["N"]
+    ].reshape(spec.dims)
+    np.testing.assert_array_equal(gen_out, lib_out)
+
+    # and the shared result matches the fp64 golden model
+    gold = gold_mod.run_golden(spec, step=2, seed=3, pairs=1)
     h = int(gold["halo"])
     sl = tuple(slice(h, -h) for _ in range(spec.ndim))
     err = np.abs(lib_out[sl].astype(np.float64) - gold["a"][sl]).max()

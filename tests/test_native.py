@@ -56,8 +56,10 @@ def test_native_analysis_matches_python(name, step):
     py_fused = sorted((list(k), v) for k, v in py.fused.items())
     nat_fused = sorted((k, v) for k, v in nat["fused"])
     assert [k for k, _ in nat_fused] == [k for k, _ in py_fused]
-    np.testing.assert_allclose(
-        [v for _, v in nat_fused], [v for _, v in py_fused], rtol=1e-15
+    # bit-exact (not allclose): exact-equality grouping in plan_taps
+    # means 1 ULP of fuse drift restructures the emitted plan
+    np.testing.assert_array_equal(
+        [v for _, v in nat_fused], [v for _, v in py_fused]
     )
     for a in range(spec.ndim):
         assert sorted(map(tuple, nat["forward"][a])) == sorted(py.part.forward[a])

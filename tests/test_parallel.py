@@ -264,13 +264,19 @@ def test_halo_traffic_accounting(cpu_mesh):
 
 def test_weak_scaling_model_rows():
     """parallel/model.py builds a model row for every tuned winner; the
-    published table (BASELINE.md) is a snapshot of these rows, so pin the
-    invariants: 8 stencils, positive traffic, efficiency in (0.9, 1)."""
+    published table (BASELINE.md) is a snapshot of these rows.  Traffic
+    accounting must hold (dtype-aware) for every row; the published
+    efficiency claim (> 0.9, halo < 100 us/step) is pinned for the 8
+    upstream fixtures — extension-stencil winners (added to tuned.json
+    by tuning/schedule_r5h.sh) only need the structural invariants."""
+    import bench
     from drstencil_tpu.parallel.model import winner_rows
 
     rows = winner_rows(8)
-    assert len(rows) == 8
+    assert {m["name"] for m in rows} >= set(bench.ALL)
     for m in rows:
-        assert m["bytes_per_apply"] == 2 * m["hrow"] * m["wb"] * 4
-        assert 0.9 < m["weak_scaling_efficiency"] < 1.0
-        assert m["halo_ms_per_step"] < 0.1  # < 100 us/step for all winners
+        assert m["bytes_per_apply"] == 2 * m["hrow"] * m["wb"] * m["itemsize"]
+        assert 0.0 < m["weak_scaling_efficiency"] < 1.0
+        if m["name"] in bench.ALL:
+            assert 0.9 < m["weak_scaling_efficiency"], m
+            assert m["halo_ms_per_step"] < 0.1, m  # < 100 us/step

@@ -29,10 +29,19 @@ for i in range(RUNS):
         env={**os.environ, "BENCH_REPEATS": "3",
              "BENCH_STENCILS": ",".join(EXT)},
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    rec = json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        # a crashed bench run must not discard the completed ones
+        print(f"!! run {i + 1}/{RUNS} produced no JSON line "
+              f"(rc={out.returncode}); stderr tail:\n"
+              + out.stderr[-2000:], file=sys.stderr)
+        continue
+    rec = json.loads(lines[-1])
     runs.append(rec)
     print(f"run {i + 1}/{RUNS}: geomean {rec['value']}", flush=True)
+
+if not runs:
+    sys.exit("regen_extension: every bench run failed — nothing to splice")
 
 names = [n for n in runs[0]["detail"] if n != "_environment"]
 med = {}
@@ -40,12 +49,18 @@ for name in names:
     ds = [r["detail"][name] for r in runs]
     if any("error" in d or "env_error" in d for d in ds):
         print(f"!! {name} errored in a run", file=sys.stderr)
-    ms = statistics.median(d["ms_per_step"] for d in ds if "ms_per_step" in d)
-    med[name] = min(
-        (d for d in ds if "ms_per_step" in d),
-        key=lambda d: abs(d["ms_per_step"] - ms),
-    )
+    good = [d for d in ds if "ms_per_step" in d]
+    if not good:
+        # keep the stencils that did measure instead of crashing the splice
+        print(f"!! {name} errored in EVERY run — omitted from the table",
+              file=sys.stderr)
+        continue
+    ms = statistics.median(d["ms_per_step"] for d in good)
+    med[name] = min(good, key=lambda d: abs(d["ms_per_step"] - ms))
+names = [n for n in names if n in med]
 
+if not med:
+    sys.exit("regen_extension: no stencil measured in any run — aborting")
 fracs = [d["roofline_frac"] for d in med.values()]
 geomean = math.exp(sum(math.log(f) for f in fracs) / len(fracs))
 
