@@ -30,7 +30,9 @@ def stc_text(name):
 
 
 @pytest.mark.parametrize("name", ALL_STENCILS)
-@pytest.mark.parametrize("step", [1, 2, 3])
+# step 6 covers the deep fused tables where 1-ULP fuse-order drift
+# between native (std::map order) and Python first appeared
+@pytest.mark.parametrize("step", [1, 2, 3, 6])
 def test_native_analysis_matches_python(name, step):
     spec = load_stc(os.path.join(BENCH_DIR, name + ".stc"))
     try:
