@@ -67,3 +67,21 @@ def test_results_tables_match_tuned_json():
             f"{doc}: tuned.json stencils missing from every table "
             f"(run tuning/regen_extension.py): {sorted(unpublished)}"
         )
+
+
+def test_tuned_winners_construct():
+    """Every published winner config must still CONSTRUCT against its
+    full-size spec: StencilProgram.__init__ runs analyze, make_geometry
+    and the kernel build (all plan/VMEM/legality gates) without
+    executing, so a space/stream regression that invalidates a
+    published config fails the CPU suite instead of the next TPU run."""
+    from drstencil_tpu.ir.spec import load_stc
+    from drstencil_tpu.ops.config import KernelConfig
+    from drstencil_tpu.ops.runner import StencilProgram
+
+    tuned = json.load(open(os.path.join(ROOT, "benchmarks", "tuned.json")))
+    for name, entry in sorted(tuned.items()):
+        spec = load_stc(os.path.join(ROOT, "benchmarks", name + ".stc"))
+        cfg = KernelConfig.from_dict(entry["config"])
+        prog = StencilProgram(spec, cfg)
+        assert prog.pair_fn() is not None, name
