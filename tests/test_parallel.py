@@ -124,6 +124,13 @@ from drstencil_tpu.parallel import stream_shard
                                 interpret=True)),
     ("3d7pt_star", KernelConfig(variant="stream", step=1, tm=56,
                                 interpret=True)),
+    # extension stencils: widest 2D halo (radius 3) and the dense 27pt
+    # box (9 row-groups x 3 lane shifts) through the same shard path
+    ("2d13pt_star", KernelConfig(variant="stream", step=2, tm=24,
+                                 trapezoid=True, lane_mode="roll",
+                                 interpret=True)),
+    ("3d27pt_box", KernelConfig(variant="stream", step=1, tm=56,
+                                interpret=True)),
 ])
 def test_sharded_stream_matches_golden(name, cfg, cpu_mesh):
     """The production Pallas kernel composed with ppermute halo exchange
