@@ -203,6 +203,23 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
                 # hang class (fu4_tm6160_trap_vf: 420s timeout, r5c) —
                 # same treatment as 3D block-fused levels above.
                 lv = step // blk
+                # Unrolled-trapezoid compile-sink gate (r5h): below
+                # DEEP_LEVELS the trapezoid levels unroll into the kernel
+                # text, and at tm >= 448 with >= 20 unrolled tap-rows
+                # (levels x (2*b*order + 1)) Mosaic chews 420s-24min per
+                # config, SIGALRM-deferred — measured sinks: every
+                # fu3/fu4 tm512 config on the radius-3 2d13pt_star
+                # (worst 24 min), fu4 tm448/512+ch on 2d25pt_box (r2),
+                # fu4_tm512_ch32_vf on 2d9pt_star (r3).  Nothing ever
+                # published wins above the bound (the nearest, 2d13pt
+                # fu3_tm448 1.262, loses to fu2_tm64_vf 1.235), and fu5+
+                # is exempt: the deep fori_loop path compiles
+                # constant-size at any tm (fu5-fu8 tm448/512 all ok on
+                # 2d5pt_star/2d25pt_box ledgers).
+                if (not is3d and trap and lv < stream_mod.DEEP_LEVELS
+                        and tm >= 448
+                        and lv * (2 * blk * base_order + 1) >= 20):
+                    continue
                 vfs = (False, True) if (
                     trap and lm != "slice" and not is3d
                     and lv < stream_mod.DEEP_LEVELS

@@ -436,3 +436,32 @@ def test_space_includes_step5_deep_trapezoid():
     assert all(c.cfg.trapezoid for c in cands)  # fused 5-step taps > 64
     assert stream_mod.DEEP_LEVELS == 5  # the deep path covers these
     assert all(not c.cfg.vfuse for c in cands)  # vfuse needs lv < DEEP
+
+
+def test_space_gates_unrolled_trapezoid_compile_sinks():
+    """2D unrolled-trapezoid configs (levels < DEEP_LEVELS) at tm >= 448
+    with >= 20 unrolled tap-rows are a measured Mosaic compile-sink
+    class (r5h: every fu3/fu4 tm512 config on the radius-3 2d13pt_star
+    burned 420s-24min SIGALRM-deferred; fu4 tm448/512+ch on 2d25pt_box
+    and fu4_tm512_ch32_vf on 2d9pt_star earlier).  The space must
+    exclude the class while keeping (a) the small-tm unrolled region the
+    winners live in and (b) the fu5+ deep fori-loop path, whose compile
+    is constant-size at any tm."""
+    from drstencil_tpu.ops import stream as stream_mod
+
+    spec = small_spec("2d13pt_star", dims=(8192, 8192))
+    cands = [c for c in default_space(spec) if c.cfg.variant == "stream"]
+    assert cands
+    order = 3  # radius-3 star
+    for c in cands:
+        cfg = c.cfg
+        lv = cfg.step // cfg.block
+        if (cfg.trapezoid and lv < stream_mod.DEEP_LEVELS
+                and lv * (2 * cfg.block * order + 1) >= 20):
+            assert cfg.tm < 448, f"compile-sink config in space: {cfg.label()}"
+    # the measured winner region stays (fu2_tm64_trap_vf_roll = 1.235)
+    assert any(c.cfg.step == 2 and c.cfg.tm == 64 and c.cfg.vfuse
+               and c.cfg.trapezoid for c in cands)
+    # deep fori-loop levels stay at large tm
+    assert any(c.cfg.step >= stream_mod.DEEP_LEVELS and c.cfg.tm == 512
+               for c in cands)
