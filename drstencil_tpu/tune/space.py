@@ -188,6 +188,17 @@ def default_space(spec: StencilSpec) -> Iterator[Candidate]:
                 for b in (2, 3):
                     if step % b or b >= step:
                         continue
+                    # High-order b-levels are a second compile-sink class
+                    # (r5k): the b-fused per-level operator has order
+                    # b*base_order, and at b*base_order >= 6 Mosaic chews
+                    # 40min-1.8h per config immune to SIGALRM — measured
+                    # on the radius-3 2d13pt_star (fu4_tm256_ch8_b2
+                    # 2474s, fu8_tm384_ch16_b2 6412s) at tm values the
+                    # r5h tm>=448 gate doesn't reach.  Radius-2 b2
+                    # (b*base_order = 4) compiles fine (r4f swept it on
+                    # 2d5pt_cross/2d9pt_box; all measured, all slower).
+                    if b * base_order >= 6:
+                        continue
                     try:
                         if len(fuse(spec.taps, b)) <= 64:
                             blocks.append(b)

@@ -465,3 +465,20 @@ def test_space_gates_unrolled_trapezoid_compile_sinks():
     # deep fori-loop levels stay at large tm
     assert any(c.cfg.step >= stream_mod.DEEP_LEVELS and c.cfg.tm == 512
                for c in cands)
+
+
+def test_space_gates_high_order_block_levels():
+    """2D b-fused trapezoid levels with b*base_order >= 6 are the second
+    measured compile-sink class (r5k: radius-3 2d13pt_star
+    fu4_tm256_ch8_b2 = 2474s, fu8_tm384_ch16_b2 = 6412s, both immune to
+    the 420s SIGALRM and at tm below the r5h tm>=448 gate).  Radius-2 b2
+    (b*base_order = 4) stays in the space — r4f measured that family
+    end-to-end on 2d5pt_cross/2d9pt_box."""
+    # radius-3: no b >= 2 at all (3*2 = 6 hits the bound)
+    spec13 = small_spec("2d13pt_star", dims=(8192, 8192))
+    assert all(c.cfg.block == 1 for c in default_space(spec13)
+               if c.cfg.variant == "stream")
+    # radius-2: b2 survives the gate
+    spec9 = small_spec("2d9pt_box")
+    assert any(c.cfg.block == 2 for c in default_space(spec9)
+               if c.cfg.variant == "stream")
