@@ -178,9 +178,17 @@ class StencilProgram:
         def slabs(xp):
             r0 = g.pr
             real = xp[:, pc : pc + N]
+            face = jnp.concatenate([real[:, :h], real[:, N - h:]], axis=1)
+            if len(g.dims) == 3:
+                # transposed per-strip face slab — see stream.make_slabs
+                face = (
+                    face[: g.n_strips * g.tm]
+                    .reshape(g.n_strips, g.tm, 2 * h)
+                    .transpose(0, 2, 1)
+                )
             out = [xp[r0 : r0 + fr],
                    xp[r0 + g.rows - fr : r0 + g.rows],
-                   jnp.concatenate([real[:, :h], real[:, N - h:]], axis=1)]
+                   face]
             if len(g.dims) == 3:
                 m = g.mid
                 v = xp.reshape(g.rows_padded // m, m, g.wb)

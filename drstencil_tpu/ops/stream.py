@@ -198,7 +198,16 @@ def make_slabs(x: np.ndarray, g: StreamGeometry):
 
     - ``lo`` / ``hi``: the first/last frame_rows real rows (the j-frame in
       2D, the z-frame in 3D), lane-padded like the buffer;
-    - ``face``: the lane frame per padded row, low face then high face;
+    - ``face``: the lane frame per padded row, low face then high face.
+      2D keeps the tall (rows_padded, 2h) shape; 3D stores it
+      TRANSPOSED per strip, (n_strips, 2h, tm) — a (rows, 2h) array
+      forces XLA's only legal row-major layout to pad the 2h minor dim
+      to 128 lanes, which at 3D row counts is a 139 MB phantom buffer
+      relayout-copied on every pair call AND re-read by the kernel
+      (~0.36 ms/application measured on the 3d7pt_star winner's device
+      trace, copy.1/copy.3 + kernel reads).  The transposed block puts
+      rows on lanes (natural layout ≈ 8·rows·4 B) and the kernel
+      transposes each strip's tiny (2h, tm) tile in VMEM;
     - 3D only, ``jframe``: (rows_padded/M, 2h, N') slab for the strided
       j-frame fixup on the plane view.
     """
@@ -211,6 +220,11 @@ def make_slabs(x: np.ndarray, g: StreamGeometry):
     face = np.concatenate([real[:, :h], real[:, g.lanes - h :]], axis=1)
     if len(g.dims) == 2:
         return (lo, hi, face)
+    face = np.ascontiguousarray(
+        face[: g.n_strips * g.tm]
+        .reshape(g.n_strips, g.tm, 2 * h)
+        .transpose(0, 2, 1)
+    )
     m = g.mid
     v = xp.reshape(g.rows_padded // m, m, g.wb)
     jframe = np.concatenate([v[:, :h, :], v[:, m - h : m, :]], axis=1)
@@ -728,9 +742,18 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
                 acc = chunk_acc(src, base_plan, hr_b, base, ch)
                 write_ext(acc, base, ch)
 
-        # frozen lane frame (i-frame), every strip
-        o_ref[:, pc : pc + h] = face_ref[:, 0:h]
-        o_ref[:, pc + N - h : pc + N] = face_ref[:, h : 2 * h]
+        # frozen lane frame (i-frame), every strip.  3D reads the
+        # transposed per-strip slab block (see make_slabs: the tall
+        # (rows, 2h) shape costs a 139 MB layout-padding relayout per
+        # application) and transposes the tiny tile in VMEM.
+        if len(g.dims) == 3:
+            o_ref[:, pc : pc + h] = jnp.transpose(face_ref[0, 0:h, :])
+            o_ref[:, pc + N - h : pc + N] = jnp.transpose(
+                face_ref[0, h : 2 * h, :]
+            )
+        else:
+            o_ref[:, pc : pc + h] = face_ref[:, 0:h]
+            o_ref[:, pc + N - h : pc + N] = face_ref[:, h : 2 * h]
 
         # low/high row frame (statically placed strips)
         if row_frame:
@@ -810,9 +833,21 @@ def build_stream_kernel(an: Analysis, cfg: KernelConfig,
             pl.BlockSpec((fr, wb), const_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((fr, wb), const_map, memory_space=pltpu.VMEM),
         ]
-    in_specs.append(
-        pl.BlockSpec((tm, 2 * h), tile_map, memory_space=pltpu.VMEM)
-    )
+    if len(g.dims) == 3:
+        # transposed per-strip face slab (n_strips, 2h, tm): the last two
+        # block dims equal the array dims, so Mosaic accepts the
+        # non-128-multiple tm on lanes; ~8·n_strips·tm·4 B total instead
+        # of the 128-lane-padded tall layout's rows·512 B
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 2 * h, tm), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    else:
+        in_specs.append(
+            pl.BlockSpec((tm, 2 * h), tile_map, memory_space=pltpu.VMEM)
+        )
     if jfk:
         # grid-invariant j-frame slab block (plane p at rows [p*8, p*8+8))
         in_specs.append(

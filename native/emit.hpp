@@ -644,9 +644,17 @@ if __name__ == "__main__":
         }
     }
 
-    // frozen lane frame
-    o << "    o_ref[:, PC : PC + H] = face_ref[:, 0:H]\n";
-    o << "    o_ref[:, PC + N - H : PC + N] = face_ref[:, H : 2 * H]\n";
+    // frozen lane frame (3D: transposed per-strip slab block — the tall
+    // (rows, 2h) shape forces a 128-lane-padded layout that XLA
+    // relayout-copies per application; mirrors stream.py)
+    if (is3d) {
+        o << "    o_ref[:, PC : PC + H] = jnp.transpose(face_ref[0, 0:H, :])\n";
+        o << "    o_ref[:, PC + N - H : PC + N] = jnp.transpose("
+             "face_ref[0, H : 2 * H, :])\n";
+    } else {
+        o << "    o_ref[:, PC : PC + H] = face_ref[:, 0:H]\n";
+        o << "    o_ref[:, PC + N - H : PC + N] = face_ref[:, H : 2 * H]\n";
+    }
     // low/high row frame (statically placed strips)
     auto emit_segs = [&](const char* slab,
                          const std::vector<std::tuple<long, long, long, long>>&
@@ -709,7 +717,12 @@ def build_call(interpret):
         o << R"PY(        pl.BlockSpec((FR, WB), const_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((FR, WB), const_map, memory_space=pltpu.VMEM),
 )PY";
-    o << R"PY(        pl.BlockSpec((TM, 2 * H), tile_map, memory_space=pltpu.VMEM),
+    if (is3d)
+        o << R"PY(        pl.BlockSpec((1, 2 * H, TM), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+)PY";
+    else
+        o << R"PY(        pl.BlockSpec((TM, 2 * H), tile_map, memory_space=pltpu.VMEM),
 )PY";
     if (jfk)
         o << R"PY(        pl.BlockSpec((NPLANES * 8, WB), const_map,
@@ -742,9 +755,15 @@ def pad_state(x):
 def make_slabs(x):
     xp = pad_state(x)
     real = xp[:, PC : PC + N]
+    face = np.concatenate([real[:, :H], real[:, N - H:]], axis=1)
+    if FLAT3D:
+        # transposed per-strip face slab (see the kernel's face spec)
+        face = np.ascontiguousarray(
+            face[:NSTRIPS * TM].reshape(NSTRIPS, TM, 2 * H)
+            .transpose(0, 2, 1))
     slabs = [np.ascontiguousarray(xp[PR : PR + FR]),
              np.ascontiguousarray(xp[PR + R - FR : PR + R]),
-             np.concatenate([real[:, :H], real[:, N - H:]], axis=1)]
+             face]
     if FLAT3D:
         v = xp.reshape(ROWS_PADDED // MID, MID, WB)
         slabs.append(np.concatenate([v[:, :H, :], v[:, MID - H:, :]], axis=1))

@@ -390,3 +390,40 @@ def test_deep_gold_tolerates_unpartitionable_step1():
                        trapezoid=True, interpret=True)
     prog = StencilProgram(spec, cfg)
     assert prog.device_check(seed=0, pairs=1) < 1e-5
+
+
+def test_3d_face_slab_is_transposed_per_strip():
+    """The 3D lane-frame slab is stored (n_strips, 2h, tm), NOT the tall
+    (rows, 2h) shape: a 2-to-4-lane minor dim forces XLA's row-major
+    layout to pad it to 128 lanes, and at 3D row counts (~271k) that
+    phantom 139 MB buffer was relayout-copied inside EVERY pair call and
+    re-read by the kernel (~0.36 ms/application, seen as copy.1/copy.3
+    in the captured 3d7pt_star device trace).  The transposed block puts
+    rows on lanes (natural layout ~8*rows*4 B) and the kernel transposes
+    the tiny per-strip tile in VMEM — bit-identical, pinned here plus by
+    every golden/emitter differential test."""
+    from drstencil_tpu.ops import stream as stream_mod
+    from drstencil_tpu.ir.passes import analyze
+
+    spec = small_spec("3d7pt_star")
+    an = analyze(spec, step=1)
+    cfg = KernelConfig(variant="stream", step=1, tm=56, interpret=True)
+    g = stream_mod.make_geometry(an, cfg)
+    a0 = np.random.default_rng(0).random(spec.dims).astype(np.float32)
+    lo, hi, face, jframe = stream_mod.make_slabs(a0, g)
+    h = g.halo
+    assert face.shape == (g.n_strips, 2 * h, g.tm)
+    # values match the tall layout, transposed per strip
+    xp = stream_mod.pad_state(a0, g)
+    real = xp[:, g.pc : g.pc + g.lanes]
+    tall = np.concatenate([real[:, :h], real[:, g.lanes - h:]], axis=1)
+    want = tall[: g.n_strips * g.tm].reshape(
+        g.n_strips, g.tm, 2 * h).transpose(0, 2, 1)
+    np.testing.assert_array_equal(face, want)
+    # 2D keeps the tall shape (its row count is ~128x smaller)
+    spec2 = small_spec("2d5pt_star")
+    g2 = stream_mod.make_geometry(
+        analyze(spec2, step=1), KernelConfig(variant="stream", step=1, tm=64))
+    a2 = np.random.default_rng(1).random(spec2.dims).astype(np.float32)
+    slabs2 = stream_mod.make_slabs(a2, g2)
+    assert slabs2[2].shape == (g2.rows_padded, 2 * g2.halo)
