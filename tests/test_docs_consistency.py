@@ -85,3 +85,27 @@ def test_tuned_winners_construct():
         cfg = KernelConfig.from_dict(entry["config"])
         prog = StencilProgram(spec, cfg)
         assert prog.pair_fn() is not None, name
+
+
+def test_tuned_winners_in_space():
+    """Every published winner must still be a MEMBER of default_space.
+
+    The space carries compile-sink gates (unrolled-trapezoid tap-row
+    gate, b-level gates, VMEM budget) added per round as Mosaic sinks
+    were found; a gate tuned too wide would silently orphan a published
+    winner — finalists could never re-measure it and the next sweep
+    would tune a strictly worse region.  Construction alone
+    (test_tuned_winners_construct) doesn't catch that: gated configs
+    still construct."""
+    from drstencil_tpu.ir.spec import load_stc
+    from drstencil_tpu.ops.config import KernelConfig
+    from drstencil_tpu.tune.space import default_space
+
+    tuned = json.load(open(os.path.join(ROOT, "benchmarks", "tuned.json")))
+    for name, entry in sorted(tuned.items()):
+        spec = load_stc(os.path.join(ROOT, "benchmarks", name + ".stc"))
+        cfg = KernelConfig.from_dict(entry["config"])
+        assert any(c.cfg == cfg for c in default_space(spec)), (
+            f"{name}: published winner {entry['config']} is no longer "
+            f"in default_space — a sweep gate excludes it"
+        )
